@@ -1,0 +1,139 @@
+"""Public rasterization API: differentiable render, fast inference render.
+
+TPU-native equivalent of the reference's binding surface
+(reference: FasterGSCudaBackend/torch_bindings/rasterization.py:113-176 —
+`diff_rasterize`, `rasterize`, `RasterizerSettings`) and of the CUDA host
+orchestration (rasterization/src/forward.cu, inference.cu). The
+`torch.autograd.Function` + byte-blob scratch plumbing is replaced by
+`jax.custom_vjp` (in ops/blend.py) and ordinary functional composition; the
+dynamic counter D2H syncs (forward.cu:99-102,234) are replaced by a static
+instance capacity whose utilization is returned in `RenderAux` so the host
+loop can grow it between jitted steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fastergs_tpu.constants import RasterizerConstants, DEFAULT_CONSTANTS
+from fastergs_tpu.ops.projection import CameraParams, Primitives2D, preprocess, grid_size
+from fastergs_tpu.ops.tiles import TileInstances, build_tile_instances
+from fastergs_tpu.ops.blend import (
+    BlendStatics, blend_tiles, tiles_to_image, image_to_tiles)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RasterizerSettings:
+    """Mirror of the reference RasterizerSettings NamedTuple
+    (torch_bindings/rasterization.py:8-38): camera + background + SH state."""
+    camera: CameraParams
+    bg_color: jnp.ndarray  # (3,)
+    active_sh_bases: int = dataclasses.field(metadata=dict(static=True), default=16)
+    proper_antialiasing: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+
+class RenderAux(NamedTuple):
+    """Side information from a render (all non-differentiable)."""
+    n_instances: jnp.ndarray       # () i32 contributing instances
+    n_rect_instances: jnp.ndarray  # () i32 rect-expanded count (overflow if > cap)
+    n_visible: jnp.ndarray         # () i32 visible primitives
+    transmittance: jnp.ndarray     # (T, P) final per-pixel transmittance
+
+
+def render_from_primitives(
+    prims: Primitives2D,
+    settings: RasterizerSettings,
+    instance_cap: int,
+    chunk: int = 32,
+    consts: RasterizerConstants = DEFAULT_CONSTANTS,
+    exact_tile_test: bool = True,
+) -> tuple[jnp.ndarray, RenderAux]:
+    """Differentiable image from per-Gaussian screen-space primitives.
+
+    Splitting here (rather than inside one opaque function) lets the training
+    step capture the per-Gaussian mean2d cotangent for densification info —
+    the analog of the reference's densification_info accumulation inside
+    preprocess_backward_cu (kernels_backward.cuh:194-201).
+    """
+    cam = settings.camera
+    gw, gh = grid_size(cam.width, cam.height, consts)
+    statics = BlendStatics.create(gw, gh, chunk, consts)
+
+    inst: TileInstances = build_tile_instances(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, prims),
+        gw, gh, instance_cap, consts, exact_tile_test)
+
+    # differentiable gathers: their transpose is the per-Gaussian scatter-add
+    # reduction (the deterministic analog of kernels_backward.cuh:459-470)
+    gi = inst.gaussian_idx
+    acc, trans = blend_tiles(
+        prims.mean2d[gi], prims.conic[gi], prims.opacity[gi], prims.color[gi],
+        inst.tile_start, inst.tile_end, statics)
+
+    # background compositing (kernels_forward.cuh:460) — differentiable in bg
+    tile_pixels = acc + trans[..., None] * settings.bg_color[None, None, :]
+    image = tiles_to_image(tile_pixels, cam.width, cam.height, statics)
+
+    aux = RenderAux(
+        n_instances=inst.n_instances,
+        n_rect_instances=inst.n_rect_instances,
+        n_visible=jnp.sum(prims.visible.astype(jnp.int32)),
+        transmittance=trans,
+    )
+    return image, aux
+
+
+def diff_rasterize(
+    means: jnp.ndarray,
+    raw_scales: jnp.ndarray,
+    raw_rotations: jnp.ndarray,
+    raw_opacities: jnp.ndarray,
+    sh_coefficients_0: jnp.ndarray,
+    sh_coefficients_rest: jnp.ndarray,
+    settings: RasterizerSettings,
+    active_mask: jnp.ndarray | None = None,
+    instance_cap: int = 1 << 20,
+    chunk: int = 32,
+    consts: RasterizerConstants = DEFAULT_CONSTANTS,
+    exact_tile_test: bool = True,
+) -> tuple[jnp.ndarray, RenderAux]:
+    """Differentiable render (reference: diff_rasterize,
+    torch_bindings/rasterization.py:113-132). Returns (CHW image, aux)."""
+    prims = preprocess(
+        means, raw_scales, raw_rotations, raw_opacities,
+        sh_coefficients_0, sh_coefficients_rest, settings.camera,
+        active_mask=active_mask, active_sh_bases=settings.active_sh_bases,
+        proper_antialiasing=settings.proper_antialiasing, consts=consts)
+    return render_from_primitives(prims, settings, instance_cap, chunk,
+                                  consts, exact_tile_test)
+
+
+def rasterize(
+    means: jnp.ndarray,
+    raw_scales: jnp.ndarray,
+    raw_rotations: jnp.ndarray,
+    raw_opacities: jnp.ndarray,
+    sh_coefficients_0: jnp.ndarray,
+    sh_coefficients_rest: jnp.ndarray,
+    settings: RasterizerSettings,
+    to_chw: bool = True,
+    active_mask: jnp.ndarray | None = None,
+    instance_cap: int = 1 << 20,
+    chunk: int = 64,
+    consts: RasterizerConstants = DEFAULT_CONSTANTS,
+) -> jnp.ndarray:
+    """Fast inference render (reference: rasterize → _C.inference,
+    inference.cu:11-221): no gradient state, saturated output, CHW or HWC.
+    """
+    image, _ = diff_rasterize(
+        jax.lax.stop_gradient(means), raw_scales, raw_rotations,
+        raw_opacities, sh_coefficients_0, sh_coefficients_rest, settings,
+        active_mask=active_mask, instance_cap=instance_cap, chunk=chunk,
+        consts=consts)
+    image = jnp.clip(image, 0.0, 1.0)  # __saturatef (kernels_inference.cuh)
+    return image if to_chw else image.transpose(1, 2, 0)

@@ -1,0 +1,20 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+The environment pre-imports JAX (sitecustomize) with JAX_PLATFORMS=axon, so
+env vars alone are not enough — we must update the config post-import, before
+any backend initializes.
+"""
+
+import os
+
+# Read by the CPU backend at first initialization (still pending here).
+xla_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in xla_flags:
+    os.environ['XLA_FLAGS'] = (
+        xla_flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ['JAX_PLATFORMS'] = 'cpu'
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', False)
