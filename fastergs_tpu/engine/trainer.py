@@ -1,0 +1,327 @@
+"""Training orchestrator: full 30k-iteration schedule as prioritized callbacks.
+
+TPU-native equivalent of the reference FasterGSTrainer
+(reference: Trainer.py:16-227). All hyperparameters and callback windows
+mirror the reference defaults, including the documented quirks (densification
+actually starting at 600, ending at 14,900 — Trainer.py:18-19). The hot
+iteration dispatches ONE jitted device step (engine/train_step.py); the
+maintenance callbacks call the jitted kernels in models/maintenance.py.
+
+Instance-capacity management replaces the reference's dynamic allocations:
+the trainer polls the rect-instance watermark every densification interval
+and re-specializes the step when the buffer runs hot (SURVEY.md §8.3).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fastergs_tpu.config import Configurable, ConfigParameterList
+from fastergs_tpu.engine.callbacks import (
+    CallbackEngine, post_training_callback, pre_training_callback,
+    training_callback)
+from fastergs_tpu.engine.loss import LossWeights
+from fastergs_tpu.engine.train_step import (
+    DeviceDataset, TrainStepStatics, train_step)
+from fastergs_tpu.utils.logging import log_info, log_warning
+
+
+def _next_pow2(n: int) -> int:
+    p = 1 << 12
+    while p < n:
+        p *= 2
+    return p
+
+
+@Configurable.configure(
+    NUM_ITERATIONS=30_000,
+    DENSIFICATION_START_ITERATION=600,   # Trainer.py:18
+    DENSIFICATION_END_ITERATION=14_900,  # Trainer.py:19 (24_900 for MCMC)
+    DENSIFICATION_INTERVAL=100,
+    DENSIFICATION_GRAD_THRESHOLD=0.0002,
+    DENSIFICATION_PERCENT_DENSE=0.01,
+    SPEEDYSPLAT_PRUNING=ConfigParameterList(
+        USE=False,
+        START_ITERATION=6_000,
+        END_ITERATION=30_000,
+        INTERVAL=3_000,
+        SOFT_PRUNING_RATIO=0.8,
+        HARD_PRUNING_RATIO=0.3,
+    ),
+    USE_MCMC=False,
+    MAX_PRIMITIVES=1_000_000,
+    OPACITY_RESET_INTERVAL=3_000,
+    EXTRA_OPACITY_RESET_ITERATION=500,
+    MORTON_ORDERING_INTERVAL=5_000,
+    MORTON_ORDERING_END_ITERATION=15_000,
+    FILTER_3D=ConfigParameterList(
+        USE=False,
+        ORIGINAL_FORMULATION=False,
+        FILTER_VARIANCE=0.2,
+    ),
+    USE_RANDOM_BACKGROUND_COLOR=False,
+    MIN_OPACITY_AFTER_TRAINING=1 / 255,
+    RANDOM_INITIALIZATION=ConfigParameterList(
+        FORCE=False,
+        N_POINTS=100_000,
+        ENABLE_CARVING=True,
+        CARVING_IN_ALL_FRUSTUMS=False,
+        CARVING_ENFORCE_ALPHA=False,
+    ),
+    LOSS=ConfigParameterList(
+        LAMBDA_L1=0.8,
+        LAMBDA_DSSIM=0.2,
+        LAMBDA_OPACITY_REGULARIZATION=0.0,
+        LAMBDA_SCALE_REGULARIZATION=0.0,
+    ),
+    OPTIMIZER=ConfigParameterList(
+        LEARNING_RATE_MEANS_INIT=0.00016,
+        LEARNING_RATE_MEANS_FINAL=0.0000016,
+        LEARNING_RATE_MEANS_MAX_STEPS=30_000,
+        LEARNING_RATE_SH_COEFFICIENTS_0=0.0025,
+        LEARNING_RATE_SH_COEFFICIENTS_REST=0.000125,
+        LEARNING_RATE_OPACITIES=0.025,
+        LEARNING_RATE_SCALES=0.005,
+        LEARNING_RATE_ROTATIONS=0.001,
+    ),
+    SEED=0,
+    INSTANCE_CAP=1 << 21,
+    BLEND_CHUNK=32,
+    LOG_INTERVAL=100,
+)
+class FasterGSTrainer(Configurable):
+    """Reference: Trainer.py:68-227."""
+
+    def __init__(self, model, renderer, config_overrides: dict | None = None) -> None:
+        self.apply_config(config_overrides)
+        self.model = model
+        self.renderer = renderer
+        self.callbacks = CallbackEngine(self)
+        self.key = jax.random.PRNGKey(self.SEED)
+        self.train_sampler: Optional[np.random.Generator] = None
+        self._view_order: np.ndarray | None = None
+        self._view_cursor = 0
+        self.device_data: Optional[DeviceDataset] = None
+        self.metrics_history: list = []
+        self._pending_metrics: list = []
+        self._instance_watermark = 0
+        self.iters_per_sec = 0.0
+        self.output_directory = '.'
+
+    # ------------------------------------------------------------------ #
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _sample_view(self) -> int:
+        """Random without replacement per epoch (host DatasetSampler)."""
+        if self._view_order is None or self._view_cursor >= len(self._view_order):
+            self._view_order = self.train_sampler.permutation(
+                self.device_data.rgb.shape[0])
+            self._view_cursor = 0
+        idx = int(self._view_order[self._view_cursor])
+        self._view_cursor += 1
+        return idx
+
+    def _make_statics(self, update_densification: bool) -> TrainStepStatics:
+        g = self.model.gaussians
+        return TrainStepStatics(
+            width=self.device_data.rgb.shape[3],
+            height=self.device_data.rgb.shape[2],
+            active_sh_bases=g.active_sh_bases,
+            proper_antialiasing=self.renderer.PROPER_ANTIALIASING,
+            use_original_3d_filter=g.use_original_3d_filter,
+            use_optimized_3d_filter=g.use_optimized_3d_filter,
+            update_densification_info=update_densification,
+            inject_noise=self.USE_MCMC,
+            use_random_background=self.USE_RANDOM_BACKGROUND_COLOR,
+            instance_cap=self.INSTANCE_CAP,
+            chunk=self.BLEND_CHUNK,
+            loss_weights=LossWeights(
+                lambda_l1=self.LOSS.LAMBDA_L1,
+                lambda_dssim=self.LOSS.LAMBDA_DSSIM,
+                lambda_opacity_reg=self.LOSS.LAMBDA_OPACITY_REGULARIZATION,
+                lambda_scale_reg=self.LOSS.LAMBDA_SCALE_REGULARIZATION,
+            ),
+        )
+
+    # ------------------------------------------------------------------ #
+    # pre-training (reference: Trainer.py:81-109)
+    # ------------------------------------------------------------------ #
+    @pre_training_callback(priority=50)
+    def create_sampler(self, _, dataset) -> None:
+        self.train_sampler = np.random.default_rng(self.SEED)
+        self.device_data = dataset.to_device_dataset()
+
+    @pre_training_callback(priority=40)
+    def setup_gaussians(self, _, dataset) -> None:
+        views = dataset.train_views
+        centers = np.stack([v.position for v in views])
+        radius = float(1.1 * np.max(np.linalg.norm(
+            centers - centers.mean(axis=0), axis=1)))
+        log_info(f'training cameras extent: {radius:.2f}')
+
+        if dataset.point_cloud is not None and not self.RANDOM_INITIALIZATION.FORCE:
+            positions, colors = dataset.point_cloud
+        else:
+            from fastergs_tpu.utils.carving import carve
+            rng = np.random.default_rng(self.SEED)
+            bb_min, bb_size = dataset.bounding_box()
+            samples = rng.random((self.RANDOM_INITIALIZATION.N_POINTS, 3),
+                                 dtype=np.float32)
+            positions = samples * bb_size + bb_min
+            if self.RANDOM_INITIALIZATION.ENABLE_CARVING:
+                positions = carve(
+                    positions, views,
+                    self.RANDOM_INITIALIZATION.CARVING_IN_ALL_FRUSTUMS,
+                    self.RANDOM_INITIALIZATION.CARVING_ENFORCE_ALPHA)
+            colors = None
+        g = self.model.gaussians
+        g.initialize_from_point_cloud(positions, colors, self.USE_MCMC)
+        g.training_setup(self.OPTIMIZER, self.DENSIFICATION_PERCENT_DENSE, radius)
+        if not self.USE_MCMC:
+            g.reset_densification_info()
+        if self.FILTER_3D.USE:
+            g.setup_3d_filter(self.FILTER_3D, views)
+
+    # ------------------------------------------------------------------ #
+    # periodic maintenance (reference: Trainer.py:111-165)
+    # ------------------------------------------------------------------ #
+    @training_callback(priority=110, start_iteration=1000, iteration_stride=1000)
+    def increase_sh_degree(self, *_) -> None:
+        self.model.gaussians.increase_used_sh_degree()
+
+    @training_callback(priority=100, start_iteration='DENSIFICATION_START_ITERATION',
+                       end_iteration='DENSIFICATION_END_ITERATION',
+                       iteration_stride='DENSIFICATION_INTERVAL')
+    def densify(self, iteration: int, dataset) -> None:
+        g = self.model.gaussians
+        if self.USE_MCMC:
+            g.mcmc_densification(self._next_key(), min_opacity=0.005,
+                                 cap_max=self.MAX_PRIMITIVES)
+        else:
+            g.adaptive_density_control(
+                self._next_key(), self.DENSIFICATION_GRAD_THRESHOLD, 0.005,
+                iteration > self.OPACITY_RESET_INTERVAL)
+            sp = self.SPEEDYSPLAT_PRUNING
+            if (sp.USE and sp.START_ITERATION <= iteration < sp.END_ITERATION
+                    and iteration % sp.INTERVAL == 0):
+                scores = self.renderer.compute_pruning_scores(dataset)
+                g.importance_pruning(scores, pruning_ratio=sp.SOFT_PRUNING_RATIO)
+            if iteration < self.DENSIFICATION_END_ITERATION:
+                g.reset_densification_info()
+        if self.FILTER_3D.USE:
+            g.compute_3d_filter(dataset.train_views)
+        self._maybe_grow_instance_cap()
+
+    @training_callback(priority=99, end_iteration='MORTON_ORDERING_END_ITERATION',
+                       iteration_stride='MORTON_ORDERING_INTERVAL')
+    def morton_ordering(self, iteration: int, *_) -> None:
+        if iteration > 0:
+            self.model.gaussians.apply_morton_ordering()
+
+    @training_callback(active='FILTER_3D.USE', priority=95,
+                       start_iteration='DENSIFICATION_END_ITERATION',
+                       iteration_stride=100)
+    def recompute_3d_filter(self, iteration: int, dataset) -> None:
+        if (self.DENSIFICATION_END_ITERATION < iteration
+                < self.NUM_ITERATIONS - 100):
+            self.model.gaussians.compute_3d_filter(dataset.train_views)
+
+    @training_callback(priority=90, start_iteration='OPACITY_RESET_INTERVAL',
+                       end_iteration='DENSIFICATION_END_ITERATION',
+                       iteration_stride='OPACITY_RESET_INTERVAL')
+    def reset_opacities(self, *_) -> None:
+        if not self.USE_MCMC:
+            self.model.gaussians.reset_opacities()
+
+    @training_callback(priority=90, start_iteration='EXTRA_OPACITY_RESET_ITERATION',
+                       end_iteration='EXTRA_OPACITY_RESET_ITERATION')
+    def reset_opacities_extra(self, _, dataset) -> None:
+        if not self.USE_MCMC and float(np.sum(dataset.background_color)) != 0.0:
+            log_info('resetting opacities one additional time because using '
+                     'non-black background')
+            self.model.gaussians.reset_opacities()
+
+    # ------------------------------------------------------------------ #
+    # hot loop (reference: Trainer.py:167-196)
+    # ------------------------------------------------------------------ #
+    @training_callback(priority=80)
+    def training_iteration(self, iteration: int, dataset) -> None:
+        g = self.model.gaussians
+        g.update_learning_rate(iteration + 1)
+        view_idx = self._sample_view()
+        update_densify = (not self.USE_MCMC
+                          and iteration < self.DENSIFICATION_END_ITERATION)
+        statics = self._make_statics(update_densify)
+        lrs = {k: jnp.float32(v) for k, v in g.lrs.items()}
+        g.state, metrics = train_step(
+            g.state, self.device_data, jnp.int32(view_idx), lrs,
+            jnp.float32(5e5 * g.lr_means), self._next_key(), statics)
+        self._pending_metrics.append((iteration, metrics))
+        if (iteration + 1) % self.LOG_INTERVAL == 0:
+            self._flush_metrics()
+
+    def _flush_metrics(self) -> None:
+        if not self._pending_metrics:
+            return
+        # pull only the most recent metrics to the host (keeps the device
+        # queue deep; the reference pulls loss every iteration)
+        it, m = self._pending_metrics[-1]
+        host = {k: float(v) for k, v in m.items()}
+        self._instance_watermark = max(self._instance_watermark,
+                                       int(host['n_rect_instances']))
+        self.metrics_history.append((it, host))
+        self._pending_metrics.clear()
+
+    def _maybe_grow_instance_cap(self) -> None:
+        self._flush_metrics()
+        if self._instance_watermark > 0.8 * self.INSTANCE_CAP:
+            self.INSTANCE_CAP = _next_pow2(int(self._instance_watermark * 1.5))
+            log_warning(f'instance buffer watermark '
+                        f'{self._instance_watermark:,} — growing capacity to '
+                        f'{self.INSTANCE_CAP:,}')
+
+    @training_callback(active='SPEEDYSPLAT_PRUNING.USE', priority=70,
+                       start_iteration='SPEEDYSPLAT_PRUNING.START_ITERATION',
+                       end_iteration='SPEEDYSPLAT_PRUNING.END_ITERATION',
+                       iteration_stride='SPEEDYSPLAT_PRUNING.INTERVAL')
+    def hard_pruning(self, iteration: int, dataset) -> None:
+        if iteration >= (self.DENSIFICATION_END_ITERATION
+                         + self.DENSIFICATION_INTERVAL):
+            scores = self.renderer.compute_pruning_scores(dataset)
+            self.model.gaussians.importance_pruning(
+                scores, pruning_ratio=self.SPEEDYSPLAT_PRUNING.HARD_PRUNING_RATIO)
+
+    # ------------------------------------------------------------------ #
+    @post_training_callback(priority=1000)
+    def finalize(self, *_) -> None:
+        self._flush_metrics()
+        n = self.model.gaussians.training_cleanup(
+            min_opacity=self.MIN_OPACITY_AFTER_TRAINING)
+        log_info(f'final number of Gaussians: {n:,}')
+        import os
+        path = os.path.join(str(self.output_directory), 'n_gaussians.txt')
+        with open(path, 'w') as f:
+            f.write(f'Final number of Gaussians: {n:,}\n\n'
+                    f'N_Gaussians:{n}')
+
+    # ------------------------------------------------------------------ #
+    def run(self, dataset) -> None:
+        """The outer driver loop (host train.py equivalent)."""
+        self.callbacks.run_pre(dataset)
+        t0 = time.perf_counter()
+        for iteration in range(self.NUM_ITERATIONS):
+            self.callbacks.run_training(iteration, dataset)
+        # make sure all device work is done before timing
+        jax.block_until_ready(self.model.gaussians.state.params['means'])
+        elapsed = time.perf_counter() - t0
+        self.iters_per_sec = self.NUM_ITERATIONS / max(elapsed, 1e-9)
+        log_info(f'training: {self.NUM_ITERATIONS} iterations in '
+                 f'{elapsed:.1f}s ({self.iters_per_sec:.1f} it/s)')
+        self.callbacks.run_post(self.NUM_ITERATIONS, dataset)
