@@ -1,0 +1,142 @@
+"""Benchmark: garden-scale training throughput + 1080p render FPS on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Workload mirrors the reference's headline recipe (MipNeRF360 garden @ 1/4
+resolution = 1297x840, SH degree 3, fastergs_garden.yaml:106-107) on a
+synthetic scene of comparable Gaussian count, since no dataset ships in this
+environment. Training steps are fused into single dispatches so the number
+reflects device throughput, not host/tunnel dispatch latency.
+
+vs_baseline: the reference publishes no numeric tables (BASELINE.md); we
+normalize against an assumed 90 it/s RTX-class average for FasterGS on
+garden (30k iterations in ~5.5 min, consistent with its "2-5x faster than
+research codebases" claim, README.md:20-22).
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+ASSUMED_RTX_BASELINE_ITERS_PER_SEC = 90.0
+
+# garden @ 1/4 resolution (fastergs_garden.yaml:106-107)
+WIDTH, HEIGHT = 1297, 840
+N_GAUSSIANS = 250_000
+INSTANCE_CAP = 1 << 22
+CHUNK = 32
+TRAIN_STEPS = 30
+FPS_FRAMES = 20
+
+
+def build_workload():
+    from fastergs_tpu.data.synthetic import (
+        make_synthetic_dataset, random_gaussian_scene)
+    from fastergs_tpu.models.gaussians import FasterGSModel
+
+    dataset, _ = make_synthetic_dataset(
+        n_gaussians=N_GAUSSIANS, n_views=4, width=WIDTH, height=HEIGHT,
+        focal=0.85 * WIDTH, seed=0, instance_cap=INSTANCE_CAP,
+        test_step=10_000)
+    data = dataset.to_device_dataset()
+
+    model = FasterGSModel(sh_degree=3).build()
+    pc = dataset.point_cloud
+    model.gaussians.initialize_from_point_cloud(pc[0], pc[1], use_mcmc=False)
+    return dataset, data, model
+
+
+def bench_training(data, model):
+    from fastergs_tpu.engine.loss import LossWeights
+    from fastergs_tpu.engine.train_step import (
+        TrainStepStatics, train_steps_fused)
+
+    g = model.gaussians
+    statics = TrainStepStatics(
+        width=WIDTH, height=HEIGHT, active_sh_bases=16,
+        proper_antialiasing=False, use_original_3d_filter=False,
+        use_optimized_3d_filter=False, update_densification_info=True,
+        inject_noise=False, use_random_background=False,
+        instance_cap=INSTANCE_CAP, chunk=CHUNK,
+        loss_weights=LossWeights())
+    lrs = {k: jnp.float32(v) for k, v in {
+        'means': 1.6e-4, 'sh_coefficients_0': 2.5e-3,
+        'sh_coefficients_rest': 1.25e-4, 'opacities': 0.025,
+        'scales': 5e-3, 'rotations': 1e-3}.items()}
+    n_views = data.rgb.shape[0]
+    rng = np.random.default_rng(0)
+
+    def run(n):
+        idxs = jnp.asarray(rng.integers(0, n_views, n), jnp.int32)
+        means_lrs = jnp.full((n,), 1.6e-4, jnp.float32)
+        state, metrics = train_steps_fused(
+            g.state, data, idxs, lrs, means_lrs, jax.random.PRNGKey(0),
+            statics)
+        jax.block_until_ready(state.params['means'])
+        return state, metrics
+
+    g.state, _ = run(3)  # warmup + compile
+    t0 = time.perf_counter()
+    g.state, metrics = run(TRAIN_STEPS)
+    dt = time.perf_counter() - t0
+    return TRAIN_STEPS / dt, metrics
+
+
+def bench_render_fps(model):
+    from fastergs_tpu.ops.projection import CameraParams
+    from fastergs_tpu.ops.rasterize import RasterizerSettings, diff_rasterize
+
+    g = model.gaussians
+    w, h = 1920, 1080
+    w2c = np.eye(4, dtype=np.float32)[:3]
+    w2c[2, 3] = 3.5
+    cam = CameraParams(
+        w2c=jnp.asarray(w2c), cam_position=jnp.asarray([0.0, 0.0, -3.5]),
+        focal_x=jnp.float32(0.8 * w), focal_y=jnp.float32(0.8 * w),
+        center_x=jnp.float32(w / 2), center_y=jnp.float32(h / 2),
+        near_plane=jnp.float32(0.05), far_plane=jnp.float32(200.0),
+        width=w, height=h)
+    settings = RasterizerSettings(camera=cam, bg_color=jnp.zeros(3),
+                                  active_sh_bases=16)
+    args = (g.means, g.raw_scales, g.raw_rotations, g.raw_opacities,
+            g.sh_coefficients_0, g.sh_coefficients_rest)
+
+    @jax.jit
+    def render_many(args, n_frames):
+        def body(i, acc):
+            img, _ = diff_rasterize(*args, settings,
+                                    instance_cap=INSTANCE_CAP, chunk=64)
+            return acc + img[0, 0, 0] + i * 0.0
+        return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
+
+    jax.block_until_ready(render_many(args, 1))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(render_many(args, FPS_FRAMES))
+    dt = time.perf_counter() - t0
+    return FPS_FRAMES / dt
+
+
+def main():
+    dataset, data, model = build_workload()
+    its, metrics = bench_training(data, model)
+    fps = bench_render_fps(model)
+    result = {
+        'metric': 'train_iters_per_sec_garden_scale',
+        'value': round(its, 2),
+        'unit': 'it/s',
+        'vs_baseline': round(its / ASSUMED_RTX_BASELINE_ITERS_PER_SEC, 3),
+        'render_fps_1080p': round(fps, 2),
+        'n_gaussians': N_GAUSSIANS,
+        'image': f'{WIDTH}x{HEIGHT}',
+        'n_instances': int(metrics['n_instances']),
+        'loss': float(metrics['loss']),
+        'device': str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

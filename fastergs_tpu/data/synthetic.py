@@ -51,7 +51,11 @@ def random_gaussian_scene(n: int, seed: int = 0, extent: float = 1.0,
                           sh_degree: int = 3):
     rng = np.random.default_rng(seed)
     means = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
-    raw_scales = rng.uniform(np.log(0.02 * extent), np.log(0.12 * extent),
+    # splat size tied to expected point spacing (mirrors the kNN-distance
+    # initialization, Model.py:211-213) so screen-space footprints stay
+    # realistic at any n — a few tiles per splat, like real SfM scenes
+    spacing = 2.0 * extent / max(n, 8) ** (1.0 / 3.0)
+    raw_scales = rng.uniform(np.log(0.5 * spacing), np.log(2.5 * spacing),
                              (n, 3)).astype(np.float32)
     raw_rotations = rng.normal(0, 1, (n, 4)).astype(np.float32)
     raw_opacities = rng.uniform(0.0, 3.0, (n, 1)).astype(np.float32)

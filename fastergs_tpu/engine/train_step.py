@@ -66,9 +66,87 @@ def camera_for_view(data: DeviceDataset, view_idx, statics) -> CameraParams:
         width=statics.width, height=statics.height)
 
 
-@functools.partial(jax.jit, static_argnames=('statics',),
-                   donate_argnames=('state',))
-def train_step(
+def compute_view_grads(
+    params: dict,
+    filter_3d: jnp.ndarray,
+    n_active: jnp.ndarray,
+    cam: CameraParams,
+    rgb_gt: jnp.ndarray,
+    alpha_gt: jnp.ndarray,
+    bg: jnp.ndarray,
+    statics: TrainStepStatics,
+):
+    """Render + loss + manual two-stage VJP for ONE view.
+
+    Returns (g_params, loss value, visible mask, mean2d cotangent, metrics).
+    Shared by the single-chip train step and the view-parallel shard_map
+    step in fastergs_tpu.parallel (grads are psum-averaged there).
+    """
+    cap = params['means'].shape[0]
+    active = jnp.arange(cap, dtype=jnp.int32) < n_active
+    settings = RasterizerSettings(
+        camera=cam, bg_color=bg,
+        active_sh_bases=statics.active_sh_bases,
+        proper_antialiasing=statics.proper_antialiasing)
+
+    # ---- stage A: params → screen-space primitives (differentiable) ----
+    def stage_a(p):
+        eff = effective_raw_params(p, filter_3d,
+                                   statics.use_original_3d_filter)
+        return preprocess(*eff, cam, active_mask=active,
+                          active_sh_bases=statics.active_sh_bases,
+                          proper_antialiasing=statics.proper_antialiasing,
+                          consts=statics.consts)
+
+    prims, vjp_a = jax.vjp(stage_a, params)
+
+    # ---- stage B: primitives → image (custom_vjp inside) ----
+    def stage_b(pr):
+        image, aux = render_from_primitives(
+            pr, settings, statics.instance_cap, statics.chunk, statics.consts)
+        return image, aux
+
+    image, vjp_b, aux = jax.vjp(stage_b, prims, has_aux=True)
+
+    # ---- loss on the image ----
+    target = rgb_gt * alpha_gt + bg[:, None, None] * (1.0 - alpha_gt)
+
+    def img_loss(img):
+        return image_loss(img, target, statics.loss_weights)
+
+    (loss_img_val, metrics), g_image = jax.value_and_grad(
+        img_loss, has_aux=True)(image)
+
+    # ---- backward through the two stages ----
+    (g_prims,) = vjp_b(g_image)
+    (g_params,) = vjp_a(g_prims)
+
+    # ---- regularizers (act directly on params; reference Loss.py:17-18) ----
+    lw = statics.loss_weights
+    reg_val = jnp.float32(0.0)
+    if lw.lambda_opacity_reg > 0.0 or lw.lambda_scale_reg > 0.0:
+        def reg_fn(p):
+            eff = effective_raw_params(p, filter_3d,
+                                       statics.use_original_3d_filter)
+            denom = jnp.maximum(n_active.astype(jnp.float32), 1.0)
+            op_act = sigmoid(eff[3])
+            sc_act = jnp.exp(eff[1])
+            op_mean = jnp.sum(jnp.where(active[:, None], op_act, 0.0)) / denom
+            sc_mean = jnp.sum(jnp.where(active[:, None], sc_act, 0.0)) / (denom * 3.0)
+            return lw.lambda_opacity_reg * op_mean + lw.lambda_scale_reg * sc_mean
+
+        reg_val, g_reg = jax.value_and_grad(reg_fn)(params)
+        g_params = {k: g_params[k] + g_reg[k] for k in g_params}
+
+    metrics = dict(metrics)
+    metrics['loss'] = loss_img_val + reg_val
+    metrics['n_instances'] = aux.n_instances
+    metrics['n_rect_instances'] = aux.n_rect_instances
+    metrics['n_visible'] = aux.n_visible
+    return g_params, prims.visible, g_prims.mean2d, metrics
+
+
+def train_step_impl(
     state: ModelState,
     data: DeviceDataset,
     view_idx: jnp.ndarray,     # () int32
@@ -81,82 +159,27 @@ def train_step(
     cap = state.params['means'].shape[0]
     active = jnp.arange(cap, dtype=jnp.int32) < state.n_active
     cam = camera_for_view(data, view_idx, statics)
+    filter_3d = state.filter_3d
 
     key_bg, key_noise = jax.random.split(key)
     if statics.use_random_background:
         bg = jax.random.uniform(key_bg, (3,))  # Trainer.py:179
     else:
         bg = data.bg_color
-    settings = RasterizerSettings(
-        camera=cam, bg_color=bg,
-        active_sh_bases=statics.active_sh_bases,
-        proper_antialiasing=statics.proper_antialiasing)
 
-    # ---- stage A: params → screen-space primitives (differentiable) ----
-    filter_3d = state.filter_3d
-
-    def stage_a(params):
-        eff = effective_raw_params(params, filter_3d,
-                                   statics.use_original_3d_filter)
-        return preprocess(*eff, cam, active_mask=active,
-                          active_sh_bases=statics.active_sh_bases,
-                          proper_antialiasing=statics.proper_antialiasing,
-                          consts=statics.consts)
-
-    prims, vjp_a = jax.vjp(stage_a, state.params)
-
-    # ---- stage B: primitives → image (custom_vjp inside) ----
-    def stage_b(pr):
-        image, aux = render_from_primitives(
-            pr, settings, statics.instance_cap, statics.chunk, statics.consts)
-        return image, aux
-
-    image, vjp_b, aux = jax.vjp(stage_b, prims, has_aux=True)
-
-    # ---- loss on the image ----
-    rgb_gt = data.rgb[view_idx]
-    alpha_gt = data.alpha[view_idx]
-    target = rgb_gt * alpha_gt + bg[:, None, None] * (1.0 - alpha_gt)
-
-    def img_loss(img):
-        return image_loss(img, target, statics.loss_weights)
-
-    (loss_img_val, metrics), g_image = jax.value_and_grad(
-        img_loss, has_aux=True)(image)
-
-    # ---- backward through the two stages ----
-    (g_prims,) = vjp_b(g_image)
+    g_params, visible, g_mean2d, metrics = compute_view_grads(
+        state.params, filter_3d, state.n_active, cam,
+        data.rgb[view_idx], data.alpha[view_idx], bg, statics)
 
     new_info = state.densification_info
     if statics.update_densification_info:
         # reference: kernels_backward.cuh:194-201 — visibility count and
         # NDC-scaled mean2d gradient norm accumulate per visible primitive
-        g_mean2d = g_prims.mean2d
         ndc = 0.5 * g_mean2d * jnp.asarray(
             [float(statics.width), float(statics.height)])[None, :]
         grad_norm = jnp.linalg.norm(ndc, axis=-1)
-        vis = prims.visible
-        new_info = new_info.at[0].add(vis.astype(jnp.float32))
-        new_info = new_info.at[1].add(jnp.where(vis, grad_norm, 0.0))
-
-    (g_params,) = vjp_a(g_prims)
-
-    # ---- regularizers (act directly on params; reference Loss.py:17-18) ----
-    lw = statics.loss_weights
-    reg_val = jnp.float32(0.0)
-    if lw.lambda_opacity_reg > 0.0 or lw.lambda_scale_reg > 0.0:
-        def reg_fn(params):
-            eff = effective_raw_params(params, filter_3d,
-                                       statics.use_original_3d_filter)
-            denom = jnp.maximum(state.n_active.astype(jnp.float32), 1.0)
-            op_act = sigmoid(eff[3])
-            sc_act = jnp.exp(eff[1])
-            op_mean = jnp.sum(jnp.where(active[:, None], op_act, 0.0)) / denom
-            sc_mean = jnp.sum(jnp.where(active[:, None], sc_act, 0.0)) / (denom * 3.0)
-            return lw.lambda_opacity_reg * op_mean + lw.lambda_scale_reg * sc_mean
-
-        reg_val, g_reg = jax.value_and_grad(reg_fn)(state.params)
-        g_params = {k: g_params[k] + g_reg[k] for k in g_params}
+        new_info = new_info.at[0].add(visible.astype(jnp.float32))
+        new_info = new_info.at[1].add(jnp.where(visible, grad_norm, 0.0))
 
     # ---- fused Adam update (adam/src/adam.cu semantics) ----
     new_params, new_adam = adam_step(state.params, g_params, state.adam, lrs,
@@ -180,9 +203,40 @@ def train_step(
         densification_info=new_info, filter_3d=state.filter_3d,
         n_active=state.n_active)
 
-    metrics = dict(metrics)
-    metrics['loss'] = loss_img_val + reg_val
-    metrics['n_instances'] = aux.n_instances
-    metrics['n_rect_instances'] = aux.n_rect_instances
-    metrics['n_visible'] = aux.n_visible
     return new_state, metrics
+
+
+train_step = functools.partial(jax.jit, static_argnames=('statics',),
+                               donate_argnames=('state',))(train_step_impl)
+
+
+@functools.partial(jax.jit, static_argnames=('statics',),
+                   donate_argnames=('state',))
+def train_steps_fused(
+    state: ModelState,
+    data: DeviceDataset,
+    view_indices: jnp.ndarray,   # (n_steps,) i32
+    lrs: dict,                   # scalar lrs for the non-means groups
+    means_lrs: jnp.ndarray,      # (n_steps,) per-iteration scheduled means lr
+    key: jax.Array,
+    statics: TrainStepStatics,
+):
+    """Runs n_steps hot-loop iterations inside ONE dispatch via lax.scan.
+
+    Used by benchmarking and by the trainer between maintenance callbacks —
+    amortizes host-dispatch latency that would otherwise dominate on a
+    tunneled TPU. The means learning rate follows its exact per-iteration
+    schedule via a scanned array; the MCMC noise lr is derived from it
+    (5e5 * lr_means, reference Model.py:471).
+    """
+    def body(st, per_step):
+        idx, lr_means, k = per_step
+        step_lrs = dict(lrs, means=lr_means)
+        return train_step_impl(st, data, idx, step_lrs, 5e5 * lr_means, k,
+                               statics)
+
+    keys = jax.random.split(key, view_indices.shape[0])
+    state, metrics = jax.lax.scan(body, state, (view_indices, means_lrs, keys))
+    last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+    last['n_rect_instances'] = jnp.max(metrics['n_rect_instances'])
+    return state, last

@@ -312,12 +312,66 @@ class FasterGSTrainer(Configurable):
                     f'N_Gaussians:{n}')
 
     # ------------------------------------------------------------------ #
-    def run(self, dataset) -> None:
+    # fused execution: batch hot-loop iterations between maintenance events
+    # into one device dispatch (amortizes tunneled-TPU dispatch latency)
+    # ------------------------------------------------------------------ #
+    def _non_hot_due(self, iteration: int) -> list:
+        return [fn for fn in self.callbacks.due_training_callbacks(iteration)
+                if fn.__name__ != 'training_iteration']
+
+    def _fusable_window(self, iteration: int, max_window: int = 100) -> int:
+        """Number of consecutive iterations from `iteration` during which only
+        the hot loop runs (and the densification-info flag is constant)."""
+        end = min(iteration + max_window, self.NUM_ITERATIONS)
+        # don't cross the update_densification_info flag flip
+        if iteration < self.DENSIFICATION_END_ITERATION:
+            end = min(end, self.DENSIFICATION_END_ITERATION)
+        n = 0
+        for j in range(iteration, end):
+            if j > iteration and self._non_hot_due(j):
+                break
+            n += 1
+        return max(n, 1)
+
+    def _run_fused_window(self, iteration: int, n_steps: int) -> None:
+        from fastergs_tpu.engine.train_step import train_steps_fused
+        g = self.model.gaussians
+        update_densify = (not self.USE_MCMC
+                          and iteration < self.DENSIFICATION_END_ITERATION)
+        statics = self._make_statics(update_densify)
+        view_indices = jnp.asarray(
+            [self._sample_view() for _ in range(n_steps)], jnp.int32)
+        means_lrs = jnp.asarray(
+            [float(g.lr_means_scheduler(iteration + 1 + j))
+             for j in range(n_steps)], jnp.float32)
+        g.update_learning_rate(iteration + n_steps)  # keep host lr in sync
+        lrs = {k: jnp.float32(v) for k, v in g.lrs.items()}
+        g.state, metrics = train_steps_fused(
+            g.state, self.device_data, view_indices, lrs, means_lrs,
+            self._next_key(), statics)
+        self._pending_metrics.append((iteration + n_steps - 1, metrics))
+        if (iteration + n_steps) % self.LOG_INTERVAL < n_steps:
+            self._flush_metrics()
+
+    # window sizes are quantized so each (size, statics) pair compiles once —
+    # arbitrary sizes would blow up the jit cache (every scan length is a new
+    # executable, and remote compiles cost minutes)
+    _FUSE_SIZES = (64, 16, 4, 1)
+
+    def run(self, dataset, fuse: bool = True) -> None:
         """The outer driver loop (host train.py equivalent)."""
         self.callbacks.run_pre(dataset)
         t0 = time.perf_counter()
-        for iteration in range(self.NUM_ITERATIONS):
-            self.callbacks.run_training(iteration, dataset)
+        iteration = 0
+        while iteration < self.NUM_ITERATIONS:
+            if fuse and not self._non_hot_due(iteration):
+                n = self._fusable_window(iteration)
+                size = next(s for s in self._FUSE_SIZES if s <= n)
+                self._run_fused_window(iteration, size)
+                iteration += size
+            else:
+                self.callbacks.run_training(iteration, dataset)
+                iteration += 1
         # make sure all device work is done before timing
         jax.block_until_ready(self.model.gaussians.state.params['means'])
         elapsed = time.perf_counter() - t0

@@ -23,7 +23,8 @@ from fastergs_tpu.constants import RasterizerConstants, DEFAULT_CONSTANTS
 from fastergs_tpu.ops.projection import CameraParams, Primitives2D, preprocess, grid_size
 from fastergs_tpu.ops.tiles import TileInstances, build_tile_instances
 from fastergs_tpu.ops.blend import (
-    BlendStatics, blend_tiles, tiles_to_image, image_to_tiles)
+    BlendStatics, blend_tiles, pack_blend_inputs, tiles_to_image,
+    image_to_tiles)
 
 
 @jax.tree_util.register_dataclass
@@ -68,12 +69,12 @@ def render_from_primitives(
         jax.tree_util.tree_map(jax.lax.stop_gradient, prims),
         gw, gh, instance_cap, consts, exact_tile_test)
 
-    # differentiable gathers: their transpose is the per-Gaussian scatter-add
-    # reduction (the deterministic analog of kernels_backward.cuh:459-470)
-    gi = inst.gaussian_idx
-    acc, trans = blend_tiles(
-        prims.mean2d[gi], prims.conic[gi], prims.opacity[gi], prims.color[gi],
-        inst.tile_start, inst.tile_end, statics)
+    # one differentiable packed gather: its transpose is the per-Gaussian
+    # scatter-add reduction (the deterministic analog of
+    # kernels_backward.cuh:459-470)
+    packed = pack_blend_inputs(prims.mean2d, prims.conic, prims.opacity,
+                               prims.color)[inst.gaussian_idx]
+    acc, trans = blend_tiles(packed, inst.tile_start, inst.tile_end, statics)
 
     # background compositing (kernels_forward.cuh:460) — differentiable in bg
     tile_pixels = acc + trans[..., None] * settings.bg_color[None, None, :]
