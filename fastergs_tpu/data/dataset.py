@@ -86,8 +86,10 @@ class BaseDataset:
             [v.camera.focal_x, v.camera.focal_y, v.camera.center_x,
              v.camera.center_y, v.camera.near_plane, v.camera.far_plane]
             for v in views]).astype(np.float32)
+        timestamps = np.asarray([v.timestamp for v in views], np.float32)
         return DeviceDataset(
             rgb=jnp.asarray(rgb), alpha=jnp.asarray(alpha),
             w2c=jnp.asarray(w2c), cam_position=jnp.asarray(cam_pos),
             intrinsics=jnp.asarray(intr),
-            bg_color=jnp.asarray(self.background_color))
+            bg_color=jnp.asarray(self.background_color),
+            timestamps=jnp.asarray(timestamps))

@@ -102,3 +102,59 @@ def make_synthetic_dataset(
                           point_cloud=(positions, colors),
                           background_color=np.asarray(bg, np.float32))
     return dataset, scene
+
+
+def make_synthetic_video_dataset(
+    n_gaussians: int = 1000, n_cameras: int = 8, n_times: int = 6,
+    width: int = 96, height: int = 64, focal: float = 80.0, seed: int = 0,
+    bg=(0.0, 0.0, 0.0), motion_scale: float = 0.25,
+    instance_cap: int = 1 << 16,
+) -> tuple:
+    """Dynamic scene: Gaussians move linearly over t in [0, 1]; each view is
+    a (camera, time) pair — the Neural-3D-Video-style target for the 4D
+    model family (reference FasterGS4D branch, README.md:39)."""
+    import jax
+    from fastergs_tpu.models.gaussians4d import temporal_adapt
+    scene = random_gaussian_scene(n_gaussians, seed=seed)
+    rng = np.random.default_rng(seed + 7)
+    velocities = rng.normal(0, motion_scale, (n_gaussians, 3)).astype(np.float32)
+    gt_params = {
+        'means': jnp.asarray(scene['means']),
+        'rotations': jnp.asarray(scene['rotations']),
+        'velocities': jnp.asarray(velocities),
+        'accelerations': jnp.zeros((n_gaussians, 3)),
+        'rotation_rates': jnp.zeros((n_gaussians, 4)),
+        'time_means': jnp.full((n_gaussians, 1), 0.5),
+        'time_scales': jnp.full((n_gaussians, 1), np.log(10.0)),  # always on
+    }
+    cameras = ring_cameras(n_cameras, radius=3.2, width=width, height=height,
+                           focal=focal, bg=bg)
+    views = []
+    for ti in range(n_times):
+        t = ti / max(n_times - 1, 1)
+        means_t, rot_t, op_factor = temporal_adapt(gt_params, jnp.float32(t))
+        for cam_view in cameras:
+            settings = RasterizerSettings(
+                camera=CameraParams.from_view(cam_view),
+                bg_color=jnp.asarray(np.asarray(bg, np.float32)),
+                active_sh_bases=16)
+            rgb = rasterize(
+                means_t, jnp.asarray(scene['scales']), rot_t,
+                jnp.asarray(scene['opacities']),
+                jnp.asarray(scene['sh_coefficients_0']),
+                jnp.asarray(scene['sh_coefficients_rest']),
+                settings, to_chw=True, instance_cap=instance_cap)
+            from fastergs_tpu.data.cameras import View
+            views.append(View(camera=cam_view.camera, w2c=cam_view.w2c,
+                              rgb=np.asarray(rgb), timestamp=t,
+                              name=f'{cam_view.name}_t{ti}'))
+    train_views = [v for i, v in enumerate(views) if i % 8 != 0]
+    test_views = [v for i, v in enumerate(views) if i % 8 == 0]
+    keep = rng.random(n_gaussians) < 0.6
+    positions = scene['means'][keep]
+    colors = np.clip(
+        0.5 + 0.28209479177387814 * scene['sh_coefficients_0'][keep, 0], 0, 1)
+    dataset = BaseDataset(train_views, test_views,
+                          point_cloud=(positions, colors),
+                          background_color=np.asarray(bg, np.float32))
+    return dataset, scene

@@ -45,13 +45,26 @@ class FasterGSRenderer(Configurable):
         self.apply_config(config_overrides)
         self.model = model
 
-    def _gaussian_args(self, scale_offset: float = 0.0):
+    def _gaussian_args(self, scale_offset: float = 0.0, view=None):
+        """Per-view Gaussian arrays; applies the 4D temporal model when the
+        underlying Gaussians are dynamic (models/gaussians4d.py).
+
+        Returns (args tuple, opacity_factor or None)."""
         g = self.model.gaussians
         raw_scales = g.raw_scales
         if scale_offset != 0.0:
             raw_scales = raw_scales + scale_offset
-        return (g.means, raw_scales, g.raw_rotations, g.raw_opacities,
+        opacity_factor = None
+        means, rotations = g.means, g.raw_rotations
+        if getattr(g, 'is_temporal', False) and view is not None:
+            means_t, rot_t, factor = g.temporal_params_at(
+                jnp.float32(view.timestamp))
+            n = g.n_active
+            means, rotations = means_t[:n], rot_t[:n]
+            opacity_factor = factor[:n]
+        args = (means, raw_scales, rotations, g.raw_opacities,
                 g.sh_coefficients_0, g.sh_coefficients_rest)
+        return args, opacity_factor
 
     def render_image(self, view, to_chw: bool = False,
                      benchmark: bool = False) -> dict:
@@ -69,8 +82,10 @@ class FasterGSRenderer(Configurable):
         g = self.model.gaussians
         settings = extract_settings(view, g.active_sh_bases, bg_color,
                                     self.PROPER_ANTIALIASING)
-        image, _ = diff_rasterize(*self._gaussian_args(), settings,
-                                  instance_cap=self.INSTANCE_CAP)
+        args, opacity_factor = self._gaussian_args(view=view)
+        image, _ = diff_rasterize(*args, settings,
+                                  instance_cap=self.INSTANCE_CAP,
+                                  opacity_factor=opacity_factor)
         return image
 
     def render_image_inference(self, view, to_chw: bool = False) -> dict:
@@ -80,8 +95,10 @@ class FasterGSRenderer(Configurable):
                                     view.camera.background_color,
                                     self.PROPER_ANTIALIASING)
         offset = math.log(max(self.SCALE_MODIFIER, 1e-6))
-        image, _ = diff_rasterize(*self._gaussian_args(offset), settings,
-                                  instance_cap=self.INSTANCE_CAP)
+        args, opacity_factor = self._gaussian_args(offset, view=view)
+        image, _ = diff_rasterize(*args, settings,
+                                  instance_cap=self.INSTANCE_CAP,
+                                  opacity_factor=opacity_factor)
         image = jnp.clip(image, 0.0, 1.0)
         return {'rgb': image if to_chw else image.transpose(1, 2, 0)}
 
@@ -91,8 +108,10 @@ class FasterGSRenderer(Configurable):
         settings = extract_settings(view, g.active_sh_bases,
                                     view.camera.background_color,
                                     self.PROPER_ANTIALIASING)
-        image = rasterize(*self._gaussian_args(), settings, to_chw=to_chw,
-                          instance_cap=self.INSTANCE_CAP)
+        args, opacity_factor = self._gaussian_args(view=view)
+        image = rasterize(*args, settings, to_chw=to_chw,
+                          instance_cap=self.INSTANCE_CAP,
+                          opacity_factor=opacity_factor)
         return {'rgb': image}
 
     def compute_pruning_scores(self, dataset) -> jnp.ndarray:

@@ -45,6 +45,8 @@ class TrainStepStatics(NamedTuple):
     chunk: int
     loss_weights: LossWeights
     consts: RasterizerConstants = DEFAULT_CONSTANTS
+    temporal: bool = False      # 4D model family (models/gaussians4d.py)
+    use_pallas: bool | None = None  # None = auto (Pallas on real TPUs)
 
 
 class DeviceDataset(NamedTuple):
@@ -55,6 +57,7 @@ class DeviceDataset(NamedTuple):
     cam_position: jnp.ndarray  # (V, 3)
     intrinsics: jnp.ndarray    # (V, 6) fx, fy, cx, cy, near, far
     bg_color: jnp.ndarray      # (3,) dataset background color
+    timestamps: jnp.ndarray = None  # (V,) normalized times (4D family)
 
 
 def camera_for_view(data: DeviceDataset, view_idx, statics) -> CameraParams:
@@ -75,6 +78,7 @@ def compute_view_grads(
     alpha_gt: jnp.ndarray,
     bg: jnp.ndarray,
     statics: TrainStepStatics,
+    timestamp: jnp.ndarray | None = None,
 ):
     """Render + loss + manual two-stage VJP for ONE view.
 
@@ -91,19 +95,26 @@ def compute_view_grads(
 
     # ---- stage A: params → screen-space primitives (differentiable) ----
     def stage_a(p):
+        opacity_factor = None
+        if statics.temporal:
+            from fastergs_tpu.models.gaussians4d import temporal_adapt
+            means_t, rot_t, opacity_factor = temporal_adapt(p, timestamp)
+            p = dict(p, means=means_t, rotations=rot_t)
         eff = effective_raw_params(p, filter_3d,
                                    statics.use_original_3d_filter)
         return preprocess(*eff, cam, active_mask=active,
                           active_sh_bases=statics.active_sh_bases,
                           proper_antialiasing=statics.proper_antialiasing,
-                          consts=statics.consts)
+                          consts=statics.consts,
+                          opacity_factor=opacity_factor)
 
     prims, vjp_a = jax.vjp(stage_a, params)
 
     # ---- stage B: primitives → image (custom_vjp inside) ----
     def stage_b(pr):
         image, aux = render_from_primitives(
-            pr, settings, statics.instance_cap, statics.chunk, statics.consts)
+            pr, settings, statics.instance_cap, statics.chunk, statics.consts,
+            use_pallas=statics.use_pallas)
         return image, aux
 
     image, vjp_b, aux = jax.vjp(stage_b, prims, has_aux=True)
@@ -167,9 +178,11 @@ def train_step_impl(
     else:
         bg = data.bg_color
 
+    timestamp = (data.timestamps[view_idx]
+                 if statics.temporal and data.timestamps is not None else None)
     g_params, visible, g_mean2d, metrics = compute_view_grads(
         state.params, filter_3d, state.n_active, cam,
-        data.rgb[view_idx], data.alpha[view_idx], bg, statics)
+        data.rgb[view_idx], data.alpha[view_idx], bg, statics, timestamp)
 
     new_info = state.densification_info
     if statics.update_densification_info:

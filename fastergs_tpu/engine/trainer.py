@@ -92,6 +92,7 @@ def _next_pow2(n: int) -> int:
     SEED=0,
     INSTANCE_CAP=1 << 21,
     BLEND_CHUNK=32,
+    USE_PALLAS_BLEND=None,  # None = auto: Pallas kernels on real TPUs
     LOG_INTERVAL=100,
 )
 class FasterGSTrainer(Configurable):
@@ -148,6 +149,8 @@ class FasterGSTrainer(Configurable):
                 lambda_opacity_reg=self.LOSS.LAMBDA_OPACITY_REGULARIZATION,
                 lambda_scale_reg=self.LOSS.LAMBDA_SCALE_REGULARIZATION,
             ),
+            temporal=getattr(g, 'is_temporal', False),
+            use_pallas=self.USE_PALLAS_BLEND,
         )
 
     # ------------------------------------------------------------------ #

@@ -60,6 +60,8 @@ def effective_raw_params(params: dict, filter_3d: jnp.ndarray,
 class Gaussians:
     """Stores a set of 3D Gaussians (reference: Model.py:22-504)."""
 
+    is_temporal = False  # True for the 4D family (models/gaussians4d.py)
+
     def __init__(self, sh_degree: int, pretrained: bool) -> None:
         self.max_sh_degree = sh_degree
         self.active_sh_degree = sh_degree if pretrained else 0

@@ -69,6 +69,13 @@ class CameraParams:
         )
 
 
+# static size of the per-Gaussian exact-tile-test window: Gaussians whose
+# rect covers more tiles fall back to conservative rect binning (the blend's
+# alpha threshold makes any superset of the exact instance set produce
+# identical output — see ops/tiles.py)
+EXACT_TEST_WINDOW = 64
+
+
 class Primitives2D(NamedTuple):
     """Per-Gaussian screen-space primitives (all shape (N, ...))."""
     visible: jnp.ndarray          # (N,) bool — survives all culling tests
@@ -79,7 +86,10 @@ class Primitives2D(NamedTuple):
     color: jnp.ndarray            # (N, 3) f32 raw SH color (unclamped)
     power_threshold: jnp.ndarray  # (N,) f32 truncation power
     rect: jnp.ndarray             # (N, 4) i32 tile bounds (x0, x1, y0, y1)
-    n_touched_rect: jnp.ndarray   # (N,) i32 rect tile count (0 if culled)
+    n_touched: jnp.ndarray        # (N,) i32 instance count (exact when the
+                                  # rect fits the test window, else rect area)
+    tile_mask: jnp.ndarray        # (N, 2) i32 64-bit contribution bitmask
+    exact: jnp.ndarray            # (N,) bool — tile_mask/exact count valid
 
 
 def grid_size(width: int, height: int, consts: RasterizerConstants = DEFAULT_CONSTANTS):
@@ -100,6 +110,7 @@ def preprocess(
     active_sh_bases: int = 16,
     proper_antialiasing: bool = False,
     consts: RasterizerConstants = DEFAULT_CONSTANTS,
+    opacity_factor: jnp.ndarray | None = None,  # (N,) e.g. temporal visibility
 ) -> Primitives2D:
     """Vectorized equivalent of preprocess_cu (kernels_forward.cuh:14-210)."""
     n = means.shape[0]
@@ -116,6 +127,9 @@ def preprocess(
 
     # --- opacity culling (kernels_forward.cuh:73-75) ---
     opacity = sigmoid(raw_opacities)
+    if opacity_factor is not None:
+        # e.g. the 4D model's temporal visibility window (gaussians4d.py)
+        opacity = opacity * opacity_factor
     if consts.original_opacity_interpretation:
         visible &= opacity >= consts.min_alpha_threshold
 
@@ -206,10 +220,37 @@ def preprocess(
     x1 = jnp.clip(jnp.ceil((m2d[:, 0] + extent_x) / consts.tile_width), 0, gw).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((m2d[:, 1] - extent_y) / consts.tile_height), 0, gh).astype(jnp.int32)
     y1 = jnp.clip(jnp.ceil((m2d[:, 1] + extent_y) / consts.tile_height), 0, gh).astype(jnp.int32)
-    n_touched_rect = (x1 - x0) * (y1 - y0)
-    visible &= n_touched_rect > 0
-    n_touched_rect = jnp.where(visible, n_touched_rect, 0)
+    area = (x1 - x0) * (y1 - y0)
+    visible &= area > 0
     rect = jnp.stack([x0, x1, y0, y1], axis=-1)
+
+    # --- exact tile contribution count + bitmask ---
+    # TPU-native form of compute_exact_n_touched_tiles (kernel_utils.cuh:
+    # 108-171): instead of warp-cooperative enumeration, every Gaussian tests
+    # a static window of rect positions in one vectorized sweep; the result
+    # is stored as a 64-bit mask so instance expansion needs NO per-instance
+    # float data. Oversized rects (> EXACT_TEST_WINDOW tiles, rare) fall back
+    # to conservative rect binning — the blend's alpha threshold guarantees
+    # identical output for any superset of the exact instance set.
+    r = jnp.arange(EXACT_TEST_WINDOW, dtype=jnp.int32)
+    rect_w = jnp.maximum(x1 - x0, 1)
+    rx = x0[:, None] + r[None, :] % rect_w[:, None]
+    ry = y0[:, None] + r[None, :] // rect_w[:, None]
+    in_area = r[None, :] < area[:, None]
+    contrib = in_area & will_primitive_contribute(
+        sg(mean2d)[:, None, :] - 0.5, sg(conic)[:, None, :], rx, ry,
+        sg(power_threshold)[:, None], consts)
+    half = EXACT_TEST_WINDOW // 2
+    weights = (jnp.uint32(1) << jnp.arange(half, dtype=jnp.uint32))
+    mask_lo = jnp.sum(contrib[:, :half].astype(jnp.uint32) * weights[None],
+                      axis=1).astype(jnp.int32)
+    mask_hi = jnp.sum(contrib[:, half:].astype(jnp.uint32) * weights[None],
+                      axis=1).astype(jnp.int32)
+    exact = area <= EXACT_TEST_WINDOW
+    n_exact = jnp.sum(contrib, axis=1).astype(jnp.int32)
+    n_touched = jnp.where(exact, n_exact, area)
+    visible &= n_touched > 0
+    n_touched = jnp.where(visible, n_touched, 0)
 
     # --- SH color (kernels_forward.cuh:198-203, sh_utils.cuh:32-69) ---
     color = eval_sh_color(sh_0, sh_rest, means, cam.cam_position, active_sh_bases)
@@ -223,7 +264,9 @@ def preprocess(
         color=color,
         power_threshold=power_threshold,
         rect=rect,
-        n_touched_rect=n_touched_rect,
+        n_touched=n_touched,
+        tile_mask=jnp.stack([mask_lo, mask_hi], axis=1),
+        exact=exact,
     )
 
 

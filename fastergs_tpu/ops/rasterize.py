@@ -41,7 +41,7 @@ class RasterizerSettings:
 class RenderAux(NamedTuple):
     """Side information from a render (all non-differentiable)."""
     n_instances: jnp.ndarray       # () i32 contributing instances
-    n_rect_instances: jnp.ndarray  # () i32 rect-expanded count (overflow if > cap)
+    n_rect_instances: jnp.ndarray  # () i32 expanded slot count (overflow if > cap)
     n_visible: jnp.ndarray         # () i32 visible primitives
     transmittance: jnp.ndarray     # (T, P) final per-pixel transmittance
 
@@ -53,6 +53,7 @@ def render_from_primitives(
     chunk: int = 32,
     consts: RasterizerConstants = DEFAULT_CONSTANTS,
     exact_tile_test: bool = True,
+    use_pallas: bool | None = None,
 ) -> tuple[jnp.ndarray, RenderAux]:
     """Differentiable image from per-Gaussian screen-space primitives.
 
@@ -61,6 +62,10 @@ def render_from_primitives(
     the analog of the reference's densification_info accumulation inside
     preprocess_backward_cu (kernels_backward.cuh:194-201).
     """
+    if use_pallas is None:
+        # hand-written kernels on real TPUs; the XLA composition elsewhere
+        # (interpret-mode Pallas is only for correctness tests)
+        use_pallas = jax.default_backend() == 'tpu'
     cam = settings.camera
     gw, gh = grid_size(cam.width, cam.height, consts)
     statics = BlendStatics.create(gw, gh, chunk, consts)
@@ -72,9 +77,29 @@ def render_from_primitives(
     # one differentiable packed gather: its transpose is the per-Gaussian
     # scatter-add reduction (the deterministic analog of
     # kernels_backward.cuh:459-470)
-    packed = pack_blend_inputs(prims.mean2d, prims.conic, prims.opacity,
-                               prims.color)[inst.gaussian_idx]
-    acc, trans = blend_tiles(packed, inst.tile_start, inst.tile_end, statics)
+    pack9 = pack_blend_inputs(prims.mean2d, prims.conic, prims.opacity,
+                              prims.color)
+    if use_pallas:
+        from fastergs_tpu.ops import blend_pallas
+        from fastergs_tpu.ops.tiles import pad_tile_ranges
+        align = blend_pallas.CHUNK
+        n_gaussians = pack9.shape[0]
+        padded_cap = instance_cap + align * gw * gh
+        pinst = pad_tile_ranges(inst, n_gaussians, padded_cap, align)
+        # struct-of-fields with a zero sentinel row for padding slots
+        pack16 = jnp.concatenate(
+            [pack9, jnp.zeros((n_gaussians, blend_pallas.FIELD_ROWS - 9),
+                              pack9.dtype)], axis=1)
+        pack16 = jnp.concatenate(
+            [pack16, jnp.zeros((1, blend_pallas.FIELD_ROWS), pack9.dtype)],
+            axis=0)
+        packed_t = pack16[pinst.gaussian_idx].T              # (16, I_pad)
+        acc, trans = blend_pallas.blend_tiles_pallas(
+            packed_t, pinst.tile_start, pinst.tile_end, statics)
+    else:
+        packed = pack9[inst.gaussian_idx]
+        acc, trans = blend_tiles(packed, inst.tile_start, inst.tile_end,
+                                 statics)
 
     # background compositing (kernels_forward.cuh:460) — differentiable in bg
     tile_pixels = acc + trans[..., None] * settings.bg_color[None, None, :]
@@ -82,7 +107,7 @@ def render_from_primitives(
 
     aux = RenderAux(
         n_instances=inst.n_instances,
-        n_rect_instances=inst.n_rect_instances,
+        n_rect_instances=inst.n_expanded_instances,
         n_visible=jnp.sum(prims.visible.astype(jnp.int32)),
         transmittance=trans,
     )
@@ -102,6 +127,8 @@ def diff_rasterize(
     chunk: int = 32,
     consts: RasterizerConstants = DEFAULT_CONSTANTS,
     exact_tile_test: bool = True,
+    use_pallas: bool | None = None,
+    opacity_factor: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, RenderAux]:
     """Differentiable render (reference: diff_rasterize,
     torch_bindings/rasterization.py:113-132). Returns (CHW image, aux)."""
@@ -109,9 +136,10 @@ def diff_rasterize(
         means, raw_scales, raw_rotations, raw_opacities,
         sh_coefficients_0, sh_coefficients_rest, settings.camera,
         active_mask=active_mask, active_sh_bases=settings.active_sh_bases,
-        proper_antialiasing=settings.proper_antialiasing, consts=consts)
+        proper_antialiasing=settings.proper_antialiasing, consts=consts,
+        opacity_factor=opacity_factor)
     return render_from_primitives(prims, settings, instance_cap, chunk,
-                                  consts, exact_tile_test)
+                                  consts, exact_tile_test, use_pallas)
 
 
 def rasterize(
@@ -127,6 +155,7 @@ def rasterize(
     instance_cap: int = 1 << 20,
     chunk: int = 64,
     consts: RasterizerConstants = DEFAULT_CONSTANTS,
+    opacity_factor: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fast inference render (reference: rasterize → _C.inference,
     inference.cu:11-221): no gradient state, saturated output, CHW or HWC.
@@ -135,6 +164,6 @@ def rasterize(
         jax.lax.stop_gradient(means), raw_scales, raw_rotations,
         raw_opacities, sh_coefficients_0, sh_coefficients_rest, settings,
         active_mask=active_mask, instance_cap=instance_cap, chunk=chunk,
-        consts=consts)
+        consts=consts, opacity_factor=opacity_factor)
     image = jnp.clip(image, 0.0, 1.0)  # __saturatef (kernels_inference.cuh)
     return image if to_chw else image.transpose(1, 2, 0)

@@ -10,16 +10,22 @@ kernels_forward.cuh:212-361). Key translations:
   `lax.sort` with two keys (tile, depth-bits). The resulting order is
   identical: instances grouped by tile, depth-ascending within each tile.
 - The reference's dynamic instance count (atomic counters + D2H sync,
-  forward.cu:99-102) becomes a static instance capacity with sentinel keys:
-  invalid/non-contributing instances get tile id == n_tiles and sort to the
-  end. Capacity overflow is detected via the returned `n_rect_instances`.
+  forward.cu:99-102) becomes a static instance capacity with sentinel keys.
+  The capacity covers EXACT contribution counts (computed per Gaussian in
+  ops/projection.py), not rect areas; overflow is detected via the returned
+  `n_expanded_instances`.
 - The warp-cooperative exact-tile enumeration (create_instances_cu,
-  kernels_forward.cuh:225-329) becomes a flat `searchsorted` over the
-  prefix-summed rect areas: instance slot i finds its owning Gaussian with a
-  vectorized binary search, decodes its tile from the rect, and applies the
-  exact StopThePop contribution test as a mask.
-- extract_instance_ranges_cu (kernels_forward.cuh:331-349) becomes two
-  `searchsorted` calls over the sorted tile keys.
+  kernels_forward.cuh:225-329) becomes: slot→Gaussian ownership by
+  scatter + cumulative max (a monotone step function — no binary search),
+  per-Gaussian fields propagated to instances by integer delta-scatter +
+  cumsum segment fill (exact for integers, no gathers), and the j-th
+  contributing tile decoded from the 64-bit contribution mask with a
+  select-bit binary search on prefix popcounts.
+- extract_instance_ranges_cu (kernels_forward.cuh:331-349) becomes one
+  boundary `searchsorted` over the sorted tile keys.
+
+Performance (v5e, 250k Gaussians → ~3.3M instances): lax.sort ≈ 8 ms; the
+naive searchsorted/gather formulation cost >1.1 s, this one ≈ tens of ms.
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ import jax.numpy as jnp
 
 from fastergs_tpu.constants import RasterizerConstants, DEFAULT_CONSTANTS
 from fastergs_tpu.ops.math import float32_ordered_bits
-from fastergs_tpu.ops.projection import Primitives2D, will_primitive_contribute
+from fastergs_tpu.ops.projection import Primitives2D, EXACT_TEST_WINDOW
 
 
 class TileInstances(NamedTuple):
@@ -41,7 +47,63 @@ class TileInstances(NamedTuple):
     tile_start: jnp.ndarray      # (T,) i32 — first instance of each tile
     tile_end: jnp.ndarray        # (T,) i32 — one-past-last instance of each tile
     n_instances: jnp.ndarray     # () i32 — number of contributing instances
-    n_rect_instances: jnp.ndarray  # () i32 — rect-expanded count (overflow check)
+    n_expanded_instances: jnp.ndarray  # () i32 — slots required (overflow check)
+
+
+def _segment_fill_int(columns: jnp.ndarray, has: jnp.ndarray,
+                      starts: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Broadcasts per-Gaussian int32 rows to their instance segments.
+
+    columns: (N, C) int32 values; has: (N,) which Gaussians own a segment;
+    starts: (N,) first slot of each segment (strictly increasing over `has`).
+    Returns (cap, C) where every slot in a segment holds its owner's row.
+
+    Works by scattering per-segment DELTAS at segment starts and integrating
+    with a cumsum — exact for integers (the partial sums telescope to the
+    original values), and ~an order of magnitude faster than row gathers on
+    TPU, where gathers are latency-bound.
+    """
+    n = columns.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # index of the previous segment-owning Gaussian (-1 for the first)
+    last_incl = jax.lax.cummax(jnp.where(has, idx, -1))
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_incl[:-1]])
+    prev_vals = jnp.where((prev >= 0)[:, None],
+                          columns[jnp.maximum(prev, 0)], 0)
+    deltas = jnp.where(has[:, None], columns - prev_vals, 0)
+    starts_masked = jnp.where(has, starts, cap).astype(jnp.int32)
+    arr = jnp.zeros((cap, columns.shape[1]), jnp.int32).at[starts_masked].add(
+        deltas, mode='drop')
+    return jnp.cumsum(arr, axis=0)
+
+
+def _select_bit(mask_lo: jnp.ndarray, mask_hi: jnp.ndarray,
+                j: jnp.ndarray) -> jnp.ndarray:
+    """Position of the (j+1)-th set bit of a 64-bit mask (vectorized).
+
+    Binary search on prefix popcounts: the largest p with
+    popcount(bits below p) <= j is exactly the wanted position.
+    """
+    lo = mask_lo.astype(jnp.uint32)
+    hi = mask_hi.astype(jnp.uint32)
+
+    def prefix_pop(p):
+        # bits [0, p) for p in [0, 64]
+        p_lo = jnp.clip(p, 0, 32)
+        p_hi = jnp.clip(p - 32, 0, 32)
+        m_lo = jnp.where(p_lo >= 32, jnp.uint32(0xFFFFFFFF),
+                         (jnp.uint32(1) << p_lo.astype(jnp.uint32)) - 1)
+        m_hi = jnp.where(p_hi >= 32, jnp.uint32(0xFFFFFFFF),
+                         jnp.where(p_hi <= 0, jnp.uint32(0),
+                                   (jnp.uint32(1) << p_hi.astype(jnp.uint32)) - 1))
+        return (jax.lax.population_count(lo & m_lo)
+                + jax.lax.population_count(hi & m_hi)).astype(jnp.int32)
+
+    pos = jnp.zeros_like(j)
+    for step in (32, 16, 8, 4, 2, 1):
+        cand = pos + step
+        pos = jnp.where(prefix_pop(cand) <= j, cand, pos)
+    return pos
 
 
 def build_tile_instances(
@@ -50,67 +112,52 @@ def build_tile_instances(
     grid_height: int,
     instance_cap: int,
     consts: RasterizerConstants = DEFAULT_CONSTANTS,
-    exact_tile_test: bool = True,
+    exact_tile_test: bool = True,  # kept for API compat; test runs in preprocess
 ) -> TileInstances:
-    """Expands visible Gaussians into depth-within-tile sorted instances.
-
-    Performance notes (measured on v5e): `lax.sort` itself is fast (~8ms for
-    4M two-key pairs); what dominates naive formulations are (a) binary
-    searches (`searchsorted`'s scan method is >500ms at this size) and
-    (b) per-field random row gathers (~40ms each). So:
-    - slot→Gaussian ownership uses a scatter + `cummax` over the instance
-      axis instead of searchsorted (the prefix-sum image of a monotone step
-      function), costing two scatters + two cumulative maxes;
-    - all per-Gaussian fields needed per instance are packed into ONE int32
-      and ONE float32 matrix so there are exactly two gathers.
-    """
+    """Expands Gaussians into depth-within-tile sorted instances."""
+    del exact_tile_test
     n_tiles = grid_width * grid_height
-    n = prims.rect.shape[0]
-    counts = prims.n_touched_rect  # (N,) zero for culled
+    counts = prims.n_touched  # (N,) exact (or conservative) counts, 0 if culled
 
     offsets = jnp.cumsum(counts)
-    total_rect = offsets[-1]
-    starts = offsets - counts
-
-    # ownership: scatter each Gaussian's index at its start slot, then take a
-    # running max — slots between starts inherit the previous owner.
+    total = offsets[-1]
+    starts = (offsets - counts).astype(jnp.int32)
     has = counts > 0
+
+    # slot → owning Gaussian: scatter index at segment starts, running max
     starts_masked = jnp.where(has, starts, instance_cap).astype(jnp.int32)
     own0 = jnp.zeros(instance_cap, jnp.int32).at[starts_masked].max(
-        jnp.arange(n, dtype=jnp.int32), mode='drop')
+        jnp.arange(counts.shape[0], dtype=jnp.int32), mode='drop')
     own = jax.lax.cummax(own0)
-    start0 = jnp.zeros(instance_cap, jnp.int32).at[starts_masked].max(
-        starts.astype(jnp.int32), mode='drop')
-    start_of_own = jax.lax.cummax(start0)
+
+    # per-instance integer fields via segment fill (no gathers)
+    rect = prims.rect
+    columns = jnp.stack([
+        starts,                                       # 0: segment start
+        rect[:, 0],                                   # 1: x0
+        jnp.maximum(rect[:, 1] - rect[:, 0], 1),      # 2: rect width
+        rect[:, 2],                                   # 3: y0
+        float32_ordered_bits(prims.depth),            # 4: depth sort key
+        prims.tile_mask[:, 0],                        # 5: mask lo
+        prims.tile_mask[:, 1],                        # 6: mask hi
+        prims.exact.astype(jnp.int32),                # 7: exact flag
+    ], axis=1)
+    filled = _segment_fill_int(columns, has, starts, instance_cap)
 
     slot = jnp.arange(instance_cap, dtype=jnp.int32)
-    in_range = slot < total_rect
-    local = slot - start_of_own
+    in_range = slot < total
+    local = slot - filled[:, 0]
+    # j-th contributing tile: select the j-th set mask bit (exact Gaussians)
+    # or enumerate the rect directly (conservative fallback)
+    pos = jnp.where(filled[:, 7] > 0,
+                    _select_bit(filled[:, 5], filled[:, 6], local),
+                    local)
+    tile_x = filled[:, 1] + pos % filled[:, 2]
+    tile_y = filled[:, 3] + pos // filled[:, 2]
 
-    # packed per-Gaussian instance fields: one int gather + one float gather
-    rect = prims.rect
-    packed_i = jnp.stack([
-        rect[:, 0],                                  # x0
-        jnp.maximum(rect[:, 1] - rect[:, 0], 1),     # width
-        rect[:, 2],                                  # y0
-        float32_ordered_bits(prims.depth),           # depth sort key
-    ], axis=1)
-    gi = packed_i[own]                               # (I, 4)
-    tile_x = gi[:, 0] + local % gi[:, 1]
-    tile_y = gi[:, 2] + local // gi[:, 1]
-    depth_key = gi[:, 3]
-
-    contributes = in_range
-    if exact_tile_test:
-        packed_f = jnp.concatenate([
-            prims.mean2d - 0.5, prims.conic, prims.power_threshold[:, None],
-        ], axis=1)
-        gf = packed_f[own]                           # (I, 6)
-        contributes &= will_primitive_contribute(
-            gf[:, 0:2], gf[:, 2:5], tile_x, tile_y, gf[:, 5], consts)
-
-    tile_key = jnp.where(contributes, tile_y * grid_width + tile_x, n_tiles)
+    tile_key = jnp.where(in_range, tile_y * grid_width + tile_x, n_tiles)
     tile_key = tile_key.astype(jnp.int32)
+    depth_key = filled[:, 4]
 
     # single lexicographic sort replaces the reference's dual radix sort
     # (depth keys then stable tile keys, forward.cu:104-110,195-202)
@@ -131,5 +178,41 @@ def build_tile_instances(
         tile_start=tile_start,
         tile_end=tile_end,
         n_instances=n_instances,
-        n_rect_instances=total_rect.astype(jnp.int32),
+        n_expanded_instances=total.astype(jnp.int32),
+    )
+
+
+class PaddedTileInstances(NamedTuple):
+    """Instance layout with every tile range aligned to a chunk boundary.
+
+    Mosaic requires lane-aligned HBM DMA slices, so the Pallas blend kernels
+    (ops/blend_pallas.py) consume this layout: each tile's instances start at
+    a multiple of `align`; the padding slots point at a sentinel Gaussian row
+    whose zero fields blend to nothing. A side benefit: tiles' chunked
+    gradient writebacks never touch another tile's slots.
+    """
+    gaussian_idx: jnp.ndarray    # (I_pad,) i32; sentinel = n_gaussians
+    tile_start: jnp.ndarray      # (T,) i32, multiples of align
+    tile_end: jnp.ndarray        # (T,) i32 (start + true length)
+
+
+def pad_tile_ranges(inst: TileInstances, n_gaussians: int,
+                    padded_cap: int, align: int) -> PaddedTileInstances:
+    """Re-lays sorted instances so each tile starts at an aligned slot."""
+    lens = inst.tile_end - inst.tile_start
+    aligned = ((lens + align - 1) // align) * align
+    pad_start = (jnp.cumsum(aligned) - aligned).astype(jnp.int32)
+    cap = inst.gaussian_idx.shape[0]
+
+    # per-instance slot shift: constant within each tile's contiguous run
+    shift_cols = (pad_start - inst.tile_start)[:, None]
+    shift = _segment_fill_int(shift_cols, lens > 0, inst.tile_start, cap)[:, 0]
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    dst = jnp.where(slot < inst.n_instances, slot + shift, padded_cap)
+    padded_gidx = jnp.full(padded_cap, n_gaussians, jnp.int32).at[dst].set(
+        inst.gaussian_idx, mode='drop')
+    return PaddedTileInstances(
+        gaussian_idx=padded_gidx,
+        tile_start=pad_start,
+        tile_end=(pad_start + lens).astype(jnp.int32),
     )
