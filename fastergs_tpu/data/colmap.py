@@ -178,9 +178,15 @@ def load_colmap_dataset(
     if not os.path.isdir(sparse):
         sparse = os.path.join(path, 'sparse')
     if os.path.exists(os.path.join(sparse, 'cameras.bin')):
+        from fastergs_tpu import native
         cameras = read_cameras_bin(os.path.join(sparse, 'cameras.bin'))
-        images = read_images_bin(os.path.join(sparse, 'images.bin'))
-        xyz, rgb = read_points3d_bin(os.path.join(sparse, 'points3D.bin'))
+        images = native.read_images_bin(os.path.join(sparse, 'images.bin'))
+        if images is None:
+            images = read_images_bin(os.path.join(sparse, 'images.bin'))
+        pts = native.read_points3d_bin(os.path.join(sparse, 'points3D.bin'))
+        if pts is None:
+            pts = read_points3d_bin(os.path.join(sparse, 'points3D.bin'))
+        xyz, rgb = pts
     else:
         cameras = read_cameras_txt(os.path.join(sparse, 'cameras.txt'))
         images = read_images_txt(os.path.join(sparse, 'images.txt'))
@@ -196,9 +202,24 @@ def load_colmap_dataset(
     else:
         pre_scaled = False
 
+    ordered = [images[i] for i in sorted(images, key=lambda i: images[i]['name'])]
+
+    # decode images in a thread pool (PIL releases the GIL during decode)
+    loaded = [None] * len(ordered)
+    if load_images:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _load_one(idx_info):
+            idx, info = idx_info
+            scale = 1.0 if pre_scaled else image_scale_factor
+            loaded[idx] = _load_image(
+                os.path.join(images_dir, info['name']), scale)
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            list(pool.map(_load_one, enumerate(ordered)))
+
     views = []
-    for image_id in sorted(images, key=lambda i: images[i]['name']):
-        info = images[image_id]
+    for idx, info in enumerate(ordered):
         cam = cameras[info['camera_id']]
         fx, fy, cx, cy, distortion = _intrinsics(cam)
         w, h = cam['width'], cam['height']
@@ -211,9 +232,7 @@ def load_colmap_dataset(
             distortion=distortion)
         rgb_img = alpha_img = None
         if load_images:
-            img_path = os.path.join(images_dir, info['name'])
-            scale = 1.0 if pre_scaled else image_scale_factor
-            rgb_img, alpha_img = _load_image(img_path, scale)
+            rgb_img, alpha_img = loaded[idx]
             camera = PerspectiveCamera(
                 width=rgb_img.shape[2], height=rgb_img.shape[1],
                 focal_x=fx * rgb_img.shape[2] / w,

@@ -55,7 +55,7 @@ def random_gaussian_scene(n: int, seed: int = 0, extent: float = 1.0,
     # initialization, Model.py:211-213) so screen-space footprints stay
     # realistic at any n — a few tiles per splat, like real SfM scenes
     spacing = 2.0 * extent / max(n, 8) ** (1.0 / 3.0)
-    raw_scales = rng.uniform(np.log(0.5 * spacing), np.log(2.5 * spacing),
+    raw_scales = rng.uniform(np.log(0.25 * spacing), np.log(1.0 * spacing),
                              (n, 3)).astype(np.float32)
     raw_rotations = rng.normal(0, 1, (n, 4)).astype(np.float32)
     raw_opacities = rng.uniform(0.0, 3.0, (n, 1)).astype(np.float32)

@@ -18,7 +18,7 @@ Data layout (chosen for Mosaic's lane-alignment rules — HBM DMA slices must
 be 128-aligned in the minor dimension):
 
 - instance data is a TRANSPOSED struct-of-fields array (16, I_pad): fields in
-  sublanes, instances in lanes. A (16, 128) chunk DMA lands with each field
+  sublanes, instances in lanes. A (9, 128) chunk DMA lands with each field
   as a (1, C) row that broadcasts directly against (P, C) pixel math — no
   in-kernel transposes at all;
 - every tile's range starts at a multiple of CHUNK (ops/tiles.py
@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 from fastergs_tpu.ops.blend import BlendStatics
 
 CHUNK = 128        # instances per DMA/compute chunk (lanes)
-FIELD_ROWS = 16    # struct-of-fields rows: 9 used + 7 zero padding
+FIELD_ROWS = 16    # struct-of-fields rows: 9 used + 7 pad (HBM sublane
+                   # tiling rounds to 8 — 9-row slices are illegal)
 
 
 def _scan_mul(x, chunk):
@@ -186,13 +187,13 @@ def _blend_fwd_kernel(tile_start, tile_end, packed_hbm, out,
     def _():
         dma(jax.lax.rem(k_fin, 2), k_fin).wait()
 
-    out[0] = jnp.concatenate([acc, trans], axis=1).T         # (4, P)
+    out[0] = jnp.concatenate([acc, trans], axis=1)           # (P, 4)
 
 
 def blend_tiles_pallas_forward(packed_t, tile_start, tile_end,
                                statics: BlendStatics, interpret=None):
     """packed_t: (16, I_pad) transposed struct-of-fields.
-    Returns combined (T, 4, P): rows 0-2 color accumulator, row 3
+    Returns combined (T, P, 4): channels 0-2 color accumulator, channel 3
     transmittance."""
     n_tiles = statics.grid_width * statics.grid_height
     n_pix = statics.tile_width * statics.tile_height
@@ -202,7 +203,7 @@ def blend_tiles_pallas_forward(packed_t, tile_start, tile_end,
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, 4, n_pix), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, n_pix, 4), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, FIELD_ROWS, CHUNK), jnp.float32),
@@ -211,7 +212,7 @@ def blend_tiles_pallas_forward(packed_t, tile_start, tile_end,
     )
     return pl.pallas_call(
         functools.partial(_blend_fwd_kernel, statics=statics),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, n_pix), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_pix, 4), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_start, tile_end, packed_t)
@@ -228,8 +229,8 @@ def _blend_bwd_kernel(tile_start, tile_end, packed_hbm, fin, g_fin,
     thresh = statics.transmittance_threshold
     guard_eps = statics.one_minus_alpha_eps
 
-    fin_pc = fin[0].T                                        # (P, 4)
-    g_pc = g_fin[0].T                                        # (P, 4)
+    fin_pc = fin[0]                                          # (P, 4)
+    g_pc = g_fin[0]                                          # (P, 4)
     acc_fin = fin_pc[:, 0:3]
     trans_fin = fin_pc[:, 3:4]
     ga = g_pc[:, 0:3]                                        # (P, 3)
@@ -312,10 +313,10 @@ def _blend_bwd_kernel(tile_start, tile_end, packed_hbm, fin, g_fin,
         gcol_g = psum(w * ga_g) * (craw_g >= 0.0)
         gcol_b = psum(w * ga_b) * (craw_b >= 0.0)
 
-        zeros = jnp.zeros((FIELD_ROWS - 9, CHUNK), jnp.float32)
+        pad = jnp.zeros((FIELD_ROWS - 9, CHUNK), jnp.float32)
         grad_vmem[slot] = jnp.concatenate(
             [gm_x, gm_y, gc_a, gc_b, gc_c, g_op,
-             gcol_r, gcol_g, gcol_b, zeros], axis=0)         # (16, C)
+             gcol_r, gcol_g, gcol_b, pad], axis=0)           # (16, C)
         dma_out(slot, k).start()
 
         trans = _transmittance_update(trans, t_before, incl, thresh)
@@ -351,9 +352,9 @@ def blend_tiles_pallas_backward(packed_t, tile_start, tile_end, fin, g_fin,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),            # packed_t
-            pl.BlockSpec((1, 4, n_pix), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, n_pix, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),           # fin
-            pl.BlockSpec((1, 4, n_pix), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, n_pix, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),           # g_fin
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),      # g_packed (HBM)
@@ -383,20 +384,18 @@ def blend_tiles_pallas_backward(packed_t, tile_start, tile_end, fin, g_fin,
 def blend_tiles_pallas(packed_t, tile_start, tile_end, statics: BlendStatics):
     """(16, I_pad) instance fields → ((T, P, 3) color acc, (T, P) trans)."""
     fin = blend_tiles_pallas_forward(packed_t, tile_start, tile_end, statics)
-    return fin[:, 0:3].transpose(0, 2, 1), fin[:, 3]
+    return fin[..., 0:3], fin[..., 3]
 
 
 def _fwd(packed_t, tile_start, tile_end, statics):
     fin = blend_tiles_pallas_forward(packed_t, tile_start, tile_end, statics)
-    return ((fin[:, 0:3].transpose(0, 2, 1), fin[:, 3]),
-            (packed_t, tile_start, tile_end, fin))
+    return (fin[..., 0:3], fin[..., 3]), (packed_t, tile_start, tile_end, fin)
 
 
 def _bwd(statics, residuals, cotangents):
     packed_t, tile_start, tile_end, fin = residuals
     g_acc_tpc, g_trans = cotangents
-    g_fin = jnp.concatenate(
-        [g_acc_tpc.transpose(0, 2, 1), g_trans[:, None, :]], axis=1)
+    g_fin = jnp.concatenate([g_acc_tpc, g_trans[..., None]], axis=2)
     g_packed_t = blend_tiles_pallas_backward(
         packed_t, tile_start, tile_end, fin, g_fin, statics)
     return g_packed_t, None, None

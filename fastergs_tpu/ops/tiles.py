@@ -164,13 +164,18 @@ def build_tile_instances(
     sorted_tile, _, sorted_g = jax.lax.sort(
         (tile_key, depth_key, own), num_keys=2, is_stable=False)
 
-    # [start, end) per tile from one boundary search: end[t] == start[t+1]
-    bounds = jnp.searchsorted(
-        sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side='left',
-        method='sort').astype(jnp.int32)
+    # [start, end) per tile without another sort: scatter-min each tile's
+    # first slot, then a reverse running min fills empty tiles with the next
+    # tile's start (equivalent of extract_instance_ranges_cu,
+    # kernels_forward.cuh:331-349, built from a scatter instead of boundary
+    # detection)
+    slots = jnp.arange(instance_cap, dtype=jnp.int32)
+    first = jnp.full(n_tiles + 1, instance_cap, jnp.int32).at[sorted_tile].min(
+        slots, mode='drop')
+    n_instances = jnp.minimum(first[n_tiles], instance_cap)
+    bounds = jax.lax.cummin(first.at[n_tiles].set(n_instances), reverse=True)
     tile_start = bounds[:n_tiles]
     tile_end = bounds[1:]
-    n_instances = tile_end[-1]
 
     return TileInstances(
         gaussian_idx=sorted_g,
@@ -198,19 +203,26 @@ class PaddedTileInstances(NamedTuple):
 
 def pad_tile_ranges(inst: TileInstances, n_gaussians: int,
                     padded_cap: int, align: int) -> PaddedTileInstances:
-    """Re-lays sorted instances so each tile starts at an aligned slot."""
-    lens = inst.tile_end - inst.tile_start
+    """Re-lays sorted instances so each tile starts at an aligned slot.
+
+    Built entirely from segment fills + one int gather (no large scatter):
+    each padded slot recovers its original sorted slot from its tile's
+    (original start - padded start) offset.
+    """
+    lens = (inst.tile_end - inst.tile_start).astype(jnp.int32)
     aligned = ((lens + align - 1) // align) * align
     pad_start = (jnp.cumsum(aligned) - aligned).astype(jnp.int32)
-    cap = inst.gaussian_idx.shape[0]
 
-    # per-instance slot shift: constant within each tile's contiguous run
-    shift_cols = (pad_start - inst.tile_start)[:, None]
-    shift = _segment_fill_int(shift_cols, lens > 0, inst.tile_start, cap)[:, 0]
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    dst = jnp.where(slot < inst.n_instances, slot + shift, padded_cap)
-    padded_gidx = jnp.full(padded_cap, n_gaussians, jnp.int32).at[dst].set(
-        inst.gaussian_idx, mode='drop')
+    # per-PADDED-slot fills over the aligned regions (segments at pad_start)
+    cols = jnp.stack([inst.tile_start - pad_start,  # orig-slot offset
+                      pad_start,                    # region start
+                      lens], axis=1)
+    filled = _segment_fill_int(cols, lens > 0, pad_start, padded_cap)
+    slot = jnp.arange(padded_cap, dtype=jnp.int32)
+    local = slot - filled[:, 1]
+    valid = local < filled[:, 2]
+    orig = jnp.clip(slot + filled[:, 0], 0, inst.gaussian_idx.shape[0] - 1)
+    padded_gidx = jnp.where(valid, inst.gaussian_idx[orig], n_gaussians)
     return PaddedTileInstances(
         gaussian_idx=padded_gidx,
         tile_start=pad_start,
