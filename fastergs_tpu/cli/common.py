@@ -49,6 +49,10 @@ def build_from_config(config_path: str):
     cfg = load_yaml_config(config_path)
     if hasattr(cfg, 'GLOBAL'):
         set_log_level(getattr(cfg.GLOBAL, 'LOG_LEVEL', 2))
+        if getattr(cfg.GLOBAL, 'ANOMALY_DETECTION', False):
+            # host GLOBAL.ANOMALY_DETECTION (torch autograd anomaly mode)
+            import jax
+            jax.config.update('jax_debug_nans', True)
     dataset = load_dataset_from_config(cfg)
     sh_degree = 3
     if hasattr(cfg, 'MODEL'):
@@ -58,9 +62,11 @@ def build_from_config(config_path: str):
     renderer = FasterGSRenderer(model, renderer_overrides)
     trainer_overrides = cfg.TRAINING.to_dict() if hasattr(cfg, 'TRAINING') else {}
     # drop host-only keys the TPU trainer has no use for
-    for key in ('LOAD_CHECKPOINT', 'MODEL_NAME', 'RUN_VALIDATION', 'DATA',
-                'BACKUP', 'TIMING', 'WANDB', 'GUI', 'WRITE_VRAM_STATS'):
+    for key in ('MODEL_NAME', 'DATA', 'TIMING', 'WANDB', 'GUI',
+                'WRITE_VRAM_STATS'):
         trainer_overrides.pop(key, None)
+    if trainer_overrides.get('LOAD_CHECKPOINT') in ('null', 'None'):
+        trainer_overrides['LOAD_CHECKPOINT'] = None
     trainer = FasterGSTrainer(model, renderer, trainer_overrides)
     out_dir = 'output'
     if hasattr(cfg, 'TRAINING') and hasattr(cfg.TRAINING, 'MODEL_NAME'):

@@ -73,8 +73,10 @@ class CallbackEngine:
                 continue
             if end is not None and iteration > end:
                 continue
-            if stride and (iteration - start) % stride != 0:
+            if stride and stride > 0 and (iteration - start) % stride != 0:
                 continue
+            if stride is not None and stride <= 0:
+                continue  # disabled periodic callback (e.g. BACKUP.INTERVAL=-1)
             yield fn
 
     def run_training(self, iteration: int, dataset) -> None:

@@ -40,6 +40,13 @@ def _next_pow2(n: int) -> int:
 
 @Configurable.configure(
     NUM_ITERATIONS=30_000,
+    LOAD_CHECKPOINT=None,               # resume path (host TRAINING.LOAD_CHECKPOINT)
+    RUN_VALIDATION=False,
+    VALIDATION_INTERVAL=1_000,
+    BACKUP=ConfigParameterList(
+        FINAL_CHECKPOINT=True,
+        INTERVAL=-1,                    # >0: periodic checkpoints
+    ),
     DENSIFICATION_START_ITERATION=600,   # Trainer.py:18
     DENSIFICATION_END_ITERATION=14_900,  # Trainer.py:19 (24_900 for MCMC)
     DENSIFICATION_INTERVAL=100,
@@ -113,6 +120,7 @@ class FasterGSTrainer(Configurable):
         self._instance_watermark = 0
         self.iters_per_sec = 0.0
         self.output_directory = '.'
+        self.start_iteration = 0
 
     # ------------------------------------------------------------------ #
     def _next_key(self) -> jax.Array:
@@ -163,6 +171,25 @@ class FasterGSTrainer(Configurable):
 
     @pre_training_callback(priority=40)
     def setup_gaussians(self, _, dataset) -> None:
+        if self.LOAD_CHECKPOINT:
+            # resume: restore full state (params + Adam moments + counters);
+            # the model is 'pretrained' — full SH degree active immediately
+            # (reference Model.py:550-553)
+            from fastergs_tpu.models.checkpoint import load_checkpoint
+            load_checkpoint(self.LOAD_CHECKPOINT, self.model)
+            g = self.model.gaussians
+            views = dataset.train_views
+            centers = np.stack([v.position for v in views])
+            radius = float(1.1 * np.max(np.linalg.norm(
+                centers - centers.mean(axis=0), axis=1)))
+            g.training_setup(self.OPTIMIZER, self.DENSIFICATION_PERCENT_DENSE,
+                             radius)
+            self.start_iteration = self.model.num_iterations_trained
+            log_info(f'resumed from {self.LOAD_CHECKPOINT} at iteration '
+                     f'{self.start_iteration:,} with {g.n_active:,} Gaussians')
+            if self.FILTER_3D.USE:
+                g.setup_3d_filter(self.FILTER_3D, views)
+            return
         views = dataset.train_views
         centers = np.stack([v.position for v in views])
         radius = float(1.1 * np.max(np.linalg.norm(
@@ -290,6 +317,33 @@ class FasterGSTrainer(Configurable):
                         f'{self._instance_watermark:,} — growing capacity to '
                         f'{self.INSTANCE_CAP:,}')
 
+    @training_callback(active='RUN_VALIDATION', priority=8,
+                       iteration_stride='VALIDATION_INTERVAL')
+    def validate(self, iteration: int, dataset) -> None:
+        if iteration == 0 or not dataset.test_views:
+            return
+        from fastergs_tpu.ops.ssim import psnr
+        self._flush_metrics()
+        vals = [float(psnr(self.renderer.render_image(
+                    v, to_chw=True, benchmark=True)['rgb'],
+                jnp.asarray(v.rgb))) for v in dataset.test_views]
+        log_info(f'[it {iteration}] validation PSNR: '
+                 f'{float(np.mean(vals)):.3f} dB over {len(vals)} views')
+        self.metrics_history.append(
+            (iteration, {'val_psnr': float(np.mean(vals))}))
+
+    @training_callback(priority=5, iteration_stride='BACKUP.INTERVAL')
+    def periodic_checkpoint(self, iteration: int, *_) -> None:
+        if self.BACKUP.INTERVAL <= 0 or iteration == 0:
+            return
+        import os
+        from fastergs_tpu.models.checkpoint import save_checkpoint
+        self.model.num_iterations_trained = iteration
+        path = os.path.join(str(self.output_directory),
+                            f'checkpoint_{iteration:06d}.npz')
+        save_checkpoint(path, self.model, self)
+        log_info(f'checkpoint written to {path}')
+
     @training_callback(active='SPEEDYSPLAT_PRUNING.USE', priority=70,
                        start_iteration='SPEEDYSPLAT_PRUNING.START_ITERATION',
                        end_iteration='SPEEDYSPLAT_PRUNING.END_ITERATION',
@@ -365,7 +419,7 @@ class FasterGSTrainer(Configurable):
         """The outer driver loop (host train.py equivalent)."""
         self.callbacks.run_pre(dataset)
         t0 = time.perf_counter()
-        iteration = 0
+        iteration = self.start_iteration
         while iteration < self.NUM_ITERATIONS:
             if fuse and not self._non_hot_due(iteration):
                 n = self._fusable_window(iteration)
@@ -378,7 +432,9 @@ class FasterGSTrainer(Configurable):
         # make sure all device work is done before timing
         jax.block_until_ready(self.model.gaussians.state.params['means'])
         elapsed = time.perf_counter() - t0
-        self.iters_per_sec = self.NUM_ITERATIONS / max(elapsed, 1e-9)
+        n_done = self.NUM_ITERATIONS - self.start_iteration
+        self.iters_per_sec = n_done / max(elapsed, 1e-9)
+        self.model.num_iterations_trained = self.NUM_ITERATIONS
         log_info(f'training: {self.NUM_ITERATIONS} iterations in '
                  f'{elapsed:.1f}s ({self.iters_per_sec:.1f} it/s)')
         self.callbacks.run_post(self.NUM_ITERATIONS, dataset)

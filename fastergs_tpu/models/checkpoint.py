@@ -34,7 +34,7 @@ def save_checkpoint(path: str, model, trainer=None) -> None:
     arrays['meta'] = np.asarray([
         g.max_sh_degree, g.active_sh_degree,
         int(g.use_original_3d_filter), int(g.use_optimized_3d_filter),
-        trainer.NUM_ITERATIONS if trainer is not None else 0,
+        getattr(model, 'num_iterations_trained', 0),
     ])
     arrays['meta_f'] = np.asarray([
         g.percent_dense, g.training_cameras_extent, g.distance2filter,
