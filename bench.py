@@ -80,7 +80,10 @@ def bench_training(data, model):
         float(metrics['loss'])
         return state, metrics
 
-    g.state, _ = run(TRAIN_STEPS)  # warmup + compile (same scan length!)
+    # two warmup rounds: the first compiles; the second recompiles once more
+    # because donated outputs come back with a different buffer layout
+    g.state, _ = run(TRAIN_STEPS)
+    g.state, _ = run(TRAIN_STEPS)
     t0 = time.perf_counter()
     g.state, metrics = run(TRAIN_STEPS)
     dt = time.perf_counter() - t0
