@@ -86,15 +86,14 @@ def render_from_primitives(
         n_gaussians = pack9.shape[0]
         padded_cap = instance_cap + align * gw * gh
         pinst = pad_tile_ranges(inst, n_gaussians, padded_cap, align)
-        # struct-of-fields with a zero sentinel row for padding slots,
-        # padded to 16 fields (HBM sublane tiling)
-        pack_w = jnp.concatenate(
-            [pack9, jnp.zeros((n_gaussians, blend_pallas.FIELD_ROWS - 9),
-                              pack9.dtype)], axis=1)
-        pack_w = jnp.concatenate(
-            [pack_w, jnp.zeros((1, blend_pallas.FIELD_ROWS), pack9.dtype)],
-            axis=0)
-        packed_t = pack_w[pinst.gaussian_idx].T              # (16, I_pad)
+        # gather the NARROW (9-col) rows — the gather and its scatter-add
+        # transpose are bandwidth-bound — then pad to 16 fields for the
+        # kernel's HBM sublane tiling (the pad's backward is a free slice)
+        pack_s = jnp.concatenate(
+            [pack9, jnp.zeros((1, pack9.shape[1]), pack9.dtype)], axis=0)
+        rows9 = pack_s[pinst.gaussian_idx]                   # (I_pad, 9)
+        packed_t = jnp.pad(
+            rows9, ((0, 0), (0, blend_pallas.FIELD_ROWS - 9))).T  # (16, I_pad)
         acc, trans = blend_pallas.blend_tiles_pallas(
             packed_t, pinst.tile_start, pinst.tile_end, statics)
     else:
