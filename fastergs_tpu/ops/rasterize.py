@@ -69,10 +69,7 @@ def render_from_primitives(
     cam = settings.camera
     gw, gh = grid_size(cam.width, cam.height, consts)
     statics = BlendStatics.create(gw, gh, chunk, consts)
-
-    inst: TileInstances = build_tile_instances(
-        jax.tree_util.tree_map(jax.lax.stop_gradient, prims),
-        gw, gh, instance_cap, consts, exact_tile_test)
+    sg_prims = jax.tree_util.tree_map(jax.lax.stop_gradient, prims)
 
     # one differentiable packed gather: its transpose is the per-Gaussian
     # scatter-add reduction (the deterministic analog of
@@ -81,11 +78,9 @@ def render_from_primitives(
                               prims.color)
     if use_pallas:
         from fastergs_tpu.ops import blend_pallas
-        from fastergs_tpu.ops.tiles import pad_tile_ranges
-        align = blend_pallas.CHUNK
-        n_gaussians = pack9.shape[0]
-        padded_cap = instance_cap + align * gw * gh
-        pinst = pad_tile_ranges(inst, n_gaussians, padded_cap, align)
+        from fastergs_tpu.ops.tiles import build_tile_instances_padded
+        pinst, n_instances, n_expanded = build_tile_instances_padded(
+            sg_prims, gw, gh, instance_cap, blend_pallas.CHUNK, consts)
         # gather the NARROW (9-col) rows — the gather and its scatter-add
         # transpose are bandwidth-bound — then pad to 16 fields for the
         # kernel's HBM sublane tiling (the pad's backward is a free slice)
@@ -97,6 +92,9 @@ def render_from_primitives(
         acc, trans = blend_pallas.blend_tiles_pallas(
             packed_t, pinst.tile_start, pinst.tile_end, statics)
     else:
+        inst: TileInstances = build_tile_instances(
+            sg_prims, gw, gh, instance_cap, consts, exact_tile_test)
+        n_instances, n_expanded = inst.n_instances, inst.n_expanded_instances
         packed = pack9[inst.gaussian_idx]
         acc, trans = blend_tiles(packed, inst.tile_start, inst.tile_end,
                                  statics)
@@ -106,8 +104,8 @@ def render_from_primitives(
     image = tiles_to_image(tile_pixels, cam.width, cam.height, statics)
 
     aux = RenderAux(
-        n_instances=inst.n_instances,
-        n_rect_instances=inst.n_expanded_instances,
+        n_instances=n_instances,
+        n_rect_instances=n_expanded,
         n_visible=jnp.sum(prims.visible.astype(jnp.int32)),
         transmittance=trans,
     )
