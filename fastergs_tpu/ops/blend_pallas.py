@@ -202,7 +202,7 @@ def blend_tiles_pallas_forward(packed_t, tile_start, tile_end,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, n_pix, 4), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -351,13 +351,13 @@ def blend_tiles_pallas_backward(packed_t, tile_start, tile_end, fin, g_fin,
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),            # packed_t
+            pl.BlockSpec(memory_space=pl.ANY),               # packed_t
             pl.BlockSpec((1, n_pix, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),           # fin
             pl.BlockSpec((1, n_pix, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),           # g_fin
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),      # g_packed (HBM)
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),         # g_packed (HBM)
         scratch_shapes=[
             pltpu.VMEM((2, FIELD_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, FIELD_ROWS, CHUNK), jnp.float32),

@@ -73,7 +73,7 @@ def _segment_fill_int(columns: jnp.ndarray, has: jnp.ndarray,
     deltas = jnp.where(has[:, None], columns - prev_vals, 0)
     starts_masked = jnp.where(has, starts, cap).astype(jnp.int32)
     arr = jnp.zeros((cap, columns.shape[1]), jnp.int32).at[starts_masked].add(
-        deltas, mode='drop')
+        deltas, mode='drop', unique_indices=True, indices_are_sorted=True)
     return jnp.cumsum(arr, axis=0)
 
 
@@ -124,7 +124,8 @@ def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
     # slot → owning Gaussian: scatter index at segment starts, running max
     starts_masked = jnp.where(has, starts, instance_cap).astype(jnp.int32)
     own0 = jnp.zeros(instance_cap, jnp.int32).at[starts_masked].max(
-        jnp.arange(counts.shape[0], dtype=jnp.int32), mode='drop')
+        jnp.arange(counts.shape[0], dtype=jnp.int32), mode='drop',
+        unique_indices=True, indices_are_sorted=True)
     own = jax.lax.cummax(own0)
 
     # per-instance integer fields via segment fill (no gathers)
@@ -254,7 +255,8 @@ def build_tile_instances_padded(
     d_total = d_off[-1]
     d_starts = jnp.where(pad_needed > 0, d_off - pad_needed, n_dummy)
     d_own0 = jnp.zeros(n_dummy, jnp.int32).at[d_starts.astype(jnp.int32)].max(
-        jnp.arange(n_tiles, dtype=jnp.int32), mode='drop')
+        jnp.arange(n_tiles, dtype=jnp.int32), mode='drop',
+        unique_indices=True, indices_are_sorted=True)
     d_tile = jax.lax.cummax(d_own0)
     d_slot = jnp.arange(n_dummy, dtype=jnp.int32)
     d_tile = jnp.where(d_slot < d_total, d_tile, n_tiles)
