@@ -123,11 +123,18 @@ def main() -> None:
     parser.add_argument('--height', type=int, default=540)
     args = parser.parse_args()
 
-    from fastergs_tpu.cli.common import build_from_config
+    from fastergs_tpu.config import load_yaml_config
+    from fastergs_tpu.models.gaussians import FasterGSModel
+    from fastergs_tpu.engine.renderer import FasterGSRenderer
     from fastergs_tpu.models.checkpoint import load_checkpoint
     from fastergs_tpu.data.cameras import PerspectiveCamera
 
-    cfg, dataset, model, renderer, _ = build_from_config(args.config)
+    # the viewer needs only the model + renderer — skip dataset loading
+    cfg = load_yaml_config(args.config)
+    sh_degree = getattr(cfg.MODEL, 'SH_DEGREE', 3) if hasattr(cfg, 'MODEL') else 3
+    model = FasterGSModel(sh_degree=sh_degree).build()
+    renderer = FasterGSRenderer(
+        model, cfg.RENDERER.to_dict() if hasattr(cfg, 'RENDERER') else {})
     load_checkpoint(args.checkpoint, model)
     center = np.asarray(model.gaussians.means).mean(axis=0)
     camera = PerspectiveCamera(
