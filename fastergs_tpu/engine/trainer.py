@@ -96,6 +96,12 @@ def _next_pow2(n: int) -> int:
         LEARNING_RATE_SCALES=0.005,
         LEARNING_RATE_ROTATIONS=0.001,
     ),
+    WANDB=ConfigParameterList(
+        ACTIVATE=False,
+        ENTITY=None,
+        PROJECT='fastergs_tpu',
+        INTERVAL=500,
+    ),
     SEED=0,
     INSTANCE_CAP=1 << 21,
     BLEND_CHUNK=32,
@@ -354,6 +360,23 @@ class FasterGSTrainer(Configurable):
             scores = self.renderer.compute_pruning_scores(dataset)
             self.model.gaussians.importance_pruning(
                 scores, pruning_ratio=self.SPEEDYSPLAT_PRUNING.HARD_PRUNING_RATIO)
+
+    @training_callback(active='WANDB.ACTIVATE', priority=10,
+                       iteration_stride='WANDB.INTERVAL')
+    def log_wandb(self, iteration: int, *_) -> None:
+        """#Gaussians + latest loss metrics to W&B (reference:
+        Trainer.py:206-214; JSONL fallback when wandb is unavailable)."""
+        from fastergs_tpu.utils import wandb_facade
+        if not getattr(self, '_wandb_started', False):
+            wandb_facade.init(project=self.WANDB.PROJECT,
+                              entity=self.WANDB.ENTITY,
+                              output_dir=str(self.output_directory))
+            self._wandb_started = True
+        self._flush_metrics()
+        record = {'#Gaussians': self.model.gaussians.n_active}
+        if self.metrics_history:
+            record.update(self.metrics_history[-1][1])
+        wandb_facade.log(record, step=iteration)
 
     # ------------------------------------------------------------------ #
     @post_training_callback(priority=1000)

@@ -59,7 +59,17 @@ def relocation_adjustment(
     k = jnp.arange(MCMC_MAX_N_SAMPLES, dtype=jnp.float32)
     powers = jnp.power(new_op[:, None], k[None, :] + 1.0)  # new_op^(k+1)
     denominator = jnp.sum(rows * powers, axis=-1)
-    scaling = old_opacities / denominator
+    # the alternating binomial series cancels catastrophically in f32 for
+    # high opacity and large N (the reference kernel shares this hazard,
+    # kernels_mcmc.cuh:47-54 — its CUDA f32 sum can go <= 0 just the same);
+    # guard so a bad row degrades to an unscaled copy instead of inf/NaN
+    # scales that would poison Adam
+    safe = denominator > 1e-12
+    scaling = jnp.where(safe, old_opacities / jnp.where(safe, denominator, 1.0),
+                        1.0)
+    # Eq. 9 mass-preservation implies the factor is <= 1 for N >= 1 copies;
+    # values above 1 only arise from the cancellation failure above
+    scaling = jnp.clip(scaling, 1e-6, 1.0)
     new_scales = scaling[:, None] * old_scales
     return new_op, new_scales
 
@@ -87,4 +97,6 @@ def add_noise(
     delta = (current_lr * gate)[:, None] * transformed
     norm_ok = jnp.sum(raw_rotations * raw_rotations, axis=-1) >= 1e-8
     keep = norm_ok if active_mask is None else (norm_ok & active_mask)
-    return means + jnp.where(keep[:, None], delta, 0.0)
+    # never let an exploded covariance (exp overflow) inject inf/NaN
+    keep = keep[:, None] & jnp.isfinite(delta)
+    return means + jnp.where(keep, delta, 0.0)
