@@ -1,0 +1,591 @@
+"""Chunk-major streaming Pallas blend kernels (forward + backward).
+
+Second-generation TPU blend design, replacing the per-tile kernels in
+ops/blend_pallas.py on the hot path. The per-tile design required every
+tile's instance range to start at a 128-aligned slot, which forced ~30%
+dummy padding slots through the sort/gather/scatter stages plus an XLA
+histogram scatter (~15 ms) to size the padding. This kernel instead walks
+the tile-sorted instance stream in fixed 128-instance chunks:
+
+- grid = I / 128 chunks; the packed instance fields arrive as auto-pipelined
+  (16, 128) blocks — fully sequential HBM reads, no manual DMA of inputs;
+- tile boundaries are detected IN-KERNEL from a tile-id field row; the
+  front-to-back products/sums become *segmented* lane scans that reset at
+  boundaries (the segment condition rides the same log-step lane rolls);
+- per-pixel tile state (color accumulator, transmittance, residual-grad
+  carry) lives in VMEM scratch and carries across grid steps until the
+  tile's last instance streams by;
+- forward outputs are flushed per completed tile through a small ring of
+  DMA staging buffers; empty tiles are emitted on tile-id skips;
+- the backward writes each chunk's gradient rows to its own auto-pipelined
+  output block — by construction no two chunks write the same slots, so the
+  alignment padding (and its extra scatter rows) disappears entirely.
+
+Consequences upstream: binning needs NO per-tile histogram, NO alignment
+dummies, and NO searchsorted ranges — just the expansion and one
+lexicographic sort over the compact instance capacity (ops/tiles.py
+build_tile_instances_compact).
+
+Semantics are identical to ops/blend_pallas.py / ops/blend.py (reference:
+kernels_forward.cuh:363-475, kernels_backward.cuh:260-471): original or
+revised opacity thresholding, sticky frozen transmittance at the early-
+termination crossing, straight-through color clamp, background handled by
+the caller, deterministic per-instance gradients.
+
+Instance field layout (16, I) transposed struct-of-fields, instances in
+lanes: rows [mx, my, conic_a, conic_b, conic_c, opacity, r, g, b, tile_id,
+pad...]; slots past the real instance count carry tile_id == n_tiles
+(sentinel) and all-zero fields (alpha == 0, inert).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fastergs_tpu.ops.blend import BlendStatics
+
+CHUNK = 128        # instances per grid step (lanes)
+FIELD_ROWS = 16    # struct rows: 10 used + 6 pad (sublane tiling multiple)
+TILE_ROW = 9       # row index of the per-instance tile id (as f32)
+RING = 8           # forward output staging ring depth
+
+
+def _col(shape=(1, CHUNK)):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _seg_scan_mul(x, t):
+    """Segmented inclusive cumulative product along lanes.
+
+    Segments are maximal runs of equal tile id `t` (1, C); the segment
+    condition rides the same log-step rolls as the scan itself.
+    """
+    step = 1
+    while step < CHUNK:
+        xs = pltpu.roll(x, step, axis=1)
+        ts = pltpu.roll(t, step, axis=1)
+        ok = (_col() >= step) & (t == ts)
+        x = x * jnp.where(ok, xs, 1.0)
+        step *= 2
+    return x
+
+
+def _seg_scan_add(x, t):
+    """Segmented inclusive cumulative sum along lanes."""
+    step = 1
+    while step < CHUNK:
+        xs = pltpu.roll(x, step, axis=1)
+        ts = pltpu.roll(t, step, axis=1)
+        ok = (_col() >= step) & (t == ts)
+        x = x + jnp.where(ok, xs, 0.0)
+        step *= 2
+    return x
+
+
+def _seg_exclusive(incl, t, identity):
+    """Shifts a segmented inclusive scan to exclusive (identity at each
+    segment's first lane)."""
+    excl = pltpu.roll(incl, 1, axis=1)
+    ts = pltpu.roll(t, 1, axis=1)
+    first = (_col() == 0) | (t != ts)
+    return jnp.where(first, identity, excl)
+
+
+def _pixel_coords_lanes(t_ids, statics: BlendStatics, n_pix):
+    """Per-(pixel, lane) pixel centers: each lane evaluates against its OWN
+    tile's pixel block (lanes may span tiles)."""
+    tw, th = statics.tile_width, statics.tile_height
+    tx = (t_ids % statics.grid_width).astype(jnp.float32)      # (1, C)
+    ty = (t_ids // statics.grid_width).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (n_pix, 1), 0)
+    px = tx * tw + (p % tw).astype(jnp.float32) + 0.5          # (P, C)
+    py = ty * th + (p // tw).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _chunk_terms(fields, px, py, statics: BlendStatics):
+    """Per-(pixel, instance) alpha math (kernels_forward.cuh:431-446)."""
+    m_x, m_y = fields[0:1], fields[1:2]                        # (1, C)
+    co_a, co_b, co_c = fields[2:3], fields[3:4], fields[4:5]
+    op = fields[5:6]
+    dx = m_x - px                                              # (P, C)
+    dy = m_y - py
+    power = -0.5 * (co_a * dx * dx + co_c * dy * dy) - co_b * dx * dy
+    gauss = jnp.exp(jnp.minimum(power, 0.0))
+    alpha = op * gauss
+    if statics.original_opacity_interpretation:
+        ok = alpha >= statics.min_alpha_threshold
+    else:
+        ok = gauss >= statics.min_alpha_threshold
+    alpha_eff = jnp.where(ok, alpha, 0.0)
+    return dict(dx=dx, dy=dy, gauss=gauss, alpha_eff=alpha_eff,
+                co_a=co_a, co_b=co_b, co_c=co_c)
+
+
+def _extract_at_lane(x, pos):
+    """(P, C) → (P, 1): column `pos` (traced scalar) via masked sum."""
+    return jnp.sum(jnp.where(_col() == pos, x, 0.0), axis=1, keepdims=True)
+
+
+# --------------------------------------------------------------------- #
+# forward
+# --------------------------------------------------------------------- #
+
+def _fwd_kernel(packed_blk, out_hbm, stage, state, smem, sems,
+                statics: BlendStatics, n_chunks: int):
+    """One grid step = one 128-instance chunk of the tile-sorted stream.
+
+    smem: [0] tile in progress (-1 before first), [1] ring head, [2] done
+    flag (all pixels of the in-progress tile below the transmittance
+    threshold, or the sentinel region reached).
+    state: (P, 4) VMEM — accumulated color (ch 0-2) and transmittance (ch 3)
+    of the in-progress tile.
+    stage: (RING, P, 4) output staging ring; sems: per-slot DMA semaphores.
+    """
+    k = pl.program_id(0)
+    n_pix = statics.tile_width * statics.tile_height
+    n_tiles = statics.grid_width * statics.grid_height
+    thresh = statics.transmittance_threshold
+
+    init_state = jnp.concatenate(
+        [jnp.zeros((n_pix, 3), jnp.float32),
+         jnp.ones((n_pix, 1), jnp.float32)], axis=1)
+
+    @pl.when(k == 0)
+    def _():
+        smem[0] = -1
+        smem[1] = 0
+        smem[2] = 0
+        state[:] = init_state
+
+    fields = packed_blk[:]                                     # (16, C)
+    t_ids = fields[TILE_ROW:TILE_ROW + 1].astype(jnp.int32)    # (1, C)
+    cur0 = smem[0]
+    done0 = smem[2]
+    col = _col()
+    prev_t = pltpu.roll(t_ids, 1, axis=1)
+    is0 = col == 0
+    bmask = (is0 & (t_ids != cur0)) | (~is0 & (t_ids != prev_t))
+    n_bound = jnp.sum(bmask.astype(jnp.int32))
+    heavy = (n_bound > 0) | (done0 == 0)
+
+    def flush(pred, tile_idx, block, head):
+        """If pred: stages `block` (P, 4) and DMAs it to out_hbm[tile_idx]."""
+        slot = jax.lax.rem(head, RING)
+
+        @pl.when(pred)
+        def _():
+            @pl.when(head >= RING)
+            def _():
+                pltpu.make_async_copy(stage.at[slot], out_hbm.at[tile_idx],
+                                      sems.at[slot]).wait()
+
+            stage[slot] = block
+            pltpu.make_async_copy(stage.at[slot], out_hbm.at[tile_idx],
+                                  sems.at[slot]).start()
+
+        return head + pred.astype(jnp.int32)
+
+    empty_block = jnp.concatenate(
+        [jnp.zeros((3, n_pix), jnp.float32),
+         jnp.ones((1, n_pix), jnp.float32)], axis=0)        # (4, P)
+
+    def flush_empties(cur, upto, head):
+        """Writes init blocks for empty tiles (cur, upto) exclusive."""
+        def cond(s):
+            c, _ = s
+            return c + 1 < jnp.minimum(upto, n_tiles)
+
+        def body(s):
+            c, h = s
+            h = flush(jnp.bool_(True), c + 1, empty_block, h)
+            return c + 1, h
+
+        _, head = jax.lax.while_loop(cond, body, (cur, head))
+        return head
+
+    @pl.when(heavy)
+    def _():
+        px, py = _pixel_coords_lanes(t_ids, statics, n_pix)
+        terms = _chunk_terms(fields, px, py, statics)
+        alpha_eff = terms['alpha_eff']
+        one_minus = 1.0 - alpha_eff
+        incl = _seg_scan_mul(one_minus, t_ids)
+        excl = _seg_exclusive(incl, t_ids, 1.0)
+        state_v = state[:]                                     # (P, 4)
+        trans_carry = state_v[:, 3:4]                          # (P, 1)
+        base = jnp.where(t_ids == cur0, trans_carry, 1.0)      # (P, C)
+        t_before = base * excl
+        used = t_before >= thresh
+        w = jnp.where(used, t_before * alpha_eff, 0.0)
+        wc_r = w * jnp.maximum(fields[6:7], 0.0)               # clamp fwd:415
+        wc_g = w * jnp.maximum(fields[7:8], 0.0)
+        wc_b = w * jnp.maximum(fields[8:9], 0.0)
+        t_after = t_before * one_minus
+        frozen_cand = jnp.where(t_before < thresh, t_before, -1.0)
+
+        def seg_acc(mask):
+            """(1, C) lane mask → (P, 3) color sums over those lanes."""
+            return jnp.concatenate([
+                jnp.sum(jnp.where(mask, wc_r, 0.0), axis=1, keepdims=True),
+                jnp.sum(jnp.where(mask, wc_g, 0.0), axis=1, keepdims=True),
+                jnp.sum(jnp.where(mask, wc_b, 0.0), axis=1, keepdims=True),
+            ], axis=1)
+
+        def seg_final_t(mask, end_pos, empty):
+            """Final transmittance of a segment ending at lane end_pos."""
+            fr = jnp.max(jnp.where(mask, frozen_cand, -1.0), axis=1,
+                         keepdims=True)                        # (P, 1)
+            t_end = _extract_at_lane(t_after, end_pos)
+            unfrozen = jnp.where(fr >= 0.0, fr, t_end)
+            return jnp.where(empty, state[:][:, 3:4], unfrozen)
+
+        # ---- serial pass over tile boundaries: finalize completed tiles ---
+        def cond(s):
+            i, *_ = s
+            return i < n_bound
+
+        def body(s):
+            i, cur, seg_start, search_from, head = s
+            pos = jnp.min(jnp.where(bmask & (col >= search_from), col, CHUNK))
+            tn = jnp.max(jnp.where(col == pos, t_ids, -1))
+            seg_mask = (col >= seg_start) & (col < pos)
+            empty = pos == seg_start
+
+            # finalize tile `cur` (if one is in progress)
+            acc_fin = state[:][:, 0:3] + seg_acc(seg_mask)
+            t_fin = seg_final_t(seg_mask, pos - 1, empty)
+            block = jnp.concatenate([acc_fin, t_fin], axis=1).T  # (4, P)
+            head = flush(cur >= 0, cur, block, head)
+            head = flush_empties(cur, tn, head)
+            # reset in-progress state for the new tile
+            state[:] = init_state
+            return i + 1, tn, pos, pos + 1, head
+
+        i0 = (jnp.int32(0), cur0, jnp.int32(0), jnp.int32(0), smem[1])
+        _, cur, seg_start, _, head = jax.lax.while_loop(cond, body, i0)
+
+        # ---- fold the trailing (in-progress) segment into the carry ----
+        tail_mask = col >= seg_start
+        new_acc = state[:][:, 0:3] + seg_acc(tail_mask)
+        new_trans = seg_final_t(tail_mask, jnp.int32(CHUNK - 1),
+                                jnp.bool_(False))
+        state[:] = jnp.concatenate([new_acc, new_trans], axis=1)
+        smem[0] = cur
+        smem[1] = head
+        done = (jnp.max(new_trans) < thresh) | (cur >= n_tiles)
+        smem[2] = done.astype(jnp.int32)
+
+    # ---- last chunk: flush the in-progress tile, trailing empties, DMAs ---
+    @pl.when(k == n_chunks - 1)
+    def _():
+        cur = smem[0]
+        head = smem[1]
+        block = state[:].T                                     # (4, P)
+        head = flush((cur >= 0) & (cur < n_tiles), cur, block, head)
+        head = flush_empties(cur, jnp.int32(n_tiles), head)
+        smem[1] = head
+        for s in range(RING):
+            @pl.when(head > s)
+            def _(s=s):
+                pltpu.make_async_copy(stage.at[s], out_hbm.at[0],
+                                      sems.at[s]).wait()
+
+
+def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None):
+    """packed_t: (16, I) transposed struct-of-fields (row 9 = tile id).
+    Returns (T, P, 4): channels 0-2 color accumulator, 3 transmittance."""
+    n_tiles = statics.grid_width * statics.grid_height
+    n_pix = statics.tile_width * statics.tile_height
+    n_inst = packed_t.shape[1]
+    assert n_inst % CHUNK == 0, 'instance capacity must be CHUNK-aligned'
+    n_chunks = n_inst // CHUNK
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((FIELD_ROWS, CHUNK), lambda k: (0, k),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((RING, 4, n_pix), jnp.float32),
+            pltpu.VMEM((n_pix, 4), jnp.float32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA((RING,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, statics=statics, n_chunks=n_chunks),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, n_pix), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(packed_t)
+
+
+# --------------------------------------------------------------------- #
+# backward
+# --------------------------------------------------------------------- #
+
+def _bwd_kernel(ft_ref, lt_ref, packed_blk, fin_f, gfin_f, fin_l, gfin_l,
+                fin_hbm, gfin_hbm, g_blk, state, mid, smem, mid_sems,
+                statics: BlendStatics):
+    """Backward chunk step.
+
+    Per-tile quantities (final color/transmittance and the image cotangent)
+    arrive through two auto-pipelined (1, P, 4) block pairs keyed by the
+    chunk's first and last tile (prefetched scalars); the rare tiles fully
+    interior to a chunk are fetched synchronously from HBM (`mid`).
+
+    state: (P, 4) VMEM — ch 0 = residual-grad carry r, ch 1 = transmittance
+    carry of the in-progress tile. smem: [0] = tile in progress, [1] done.
+    """
+    k = pl.program_id(0)
+    n_pix = statics.tile_width * statics.tile_height
+    n_tiles = statics.grid_width * statics.grid_height
+    thresh = statics.transmittance_threshold
+    guard_eps = statics.one_minus_alpha_eps
+
+    @pl.when(k == 0)
+    def _():
+        smem[0] = -1
+        smem[1] = 0
+        state[:] = jnp.zeros((n_pix, 4), jnp.float32)
+
+    fields = packed_blk[:]
+    t_ids = fields[TILE_ROW:TILE_ROW + 1].astype(jnp.int32)
+    cur0 = smem[0]
+    done0 = smem[1]
+    col = _col()
+    prev_t = pltpu.roll(t_ids, 1, axis=1)
+    is0 = col == 0
+    bmask = (is0 & (t_ids != cur0)) | (~is0 & (t_ids != prev_t))
+    n_bound = jnp.sum(bmask.astype(jnp.int32))
+    heavy = (n_bound > 0) | (done0 == 0)
+
+    @pl.when(jnp.logical_not(heavy))
+    def _():
+        g_blk[:] = jnp.zeros((FIELD_ROWS, CHUNK), jnp.float32)
+
+    @pl.when(heavy)
+    def _():
+        ft = ft_ref[k]
+        lt = lt_ref[k]
+
+        def tile_vecs(fin_rows, gfin_rows):
+            """(4, P) tile blocks → (ga (P,3), r0 (P,1), common (P,1))."""
+            ga = gfin_rows[0:3, :].T                           # (P, 3)
+            r0 = jnp.sum(fin_rows[0:3, :] * gfin_rows[0:3, :],
+                         axis=0, keepdims=True).T              # (P, 1)
+            common = (-fin_rows[3:4, :] * gfin_rows[3:4, :]).T
+            return ga, r0, common
+
+        ga_f, r0_f, common_f = tile_vecs(fin_f[0], gfin_f[0])
+        ga_l, r0_l, common_l = tile_vecs(fin_l[0], gfin_l[0])
+
+        m_f = t_ids == ft                                      # (1, C)
+        m_l = t_ids == lt
+        m_c = t_ids == cur0
+
+        def lane_select(v_f, v_l):
+            """Per-lane (P, C) from the two resident per-tile (P, 1)s."""
+            return jnp.where(m_f, v_f, jnp.where(m_l, v_l, 0.0))
+
+        ga_r_vec = lane_select(ga_f[:, 0:1], ga_l[:, 0:1])
+        ga_g_vec = lane_select(ga_f[:, 1:2], ga_l[:, 1:2])
+        ga_b_vec = lane_select(ga_f[:, 2:3], ga_l[:, 2:3])
+        common_vec = lane_select(common_f, common_l)
+        r0_vec = lane_select(r0_f, r0_l)
+
+        # ---- rare middle segments: tiles strictly inside the chunk ----
+        # (a tile both starting AND ending within this chunk, other than the
+        # first/last-keyed resident blocks — fetched synchronously from HBM)
+        first_bound = jnp.sum((bmask & (col == 0)).astype(jnp.int32))
+        n_segs = n_bound + 1 - first_bound
+        has_middle = n_segs > 2
+
+        def apply_middles(vecs):
+            def body2(s):
+                i, search_from, gr, gg, gb, cm, r0v = s
+                pos = jnp.min(jnp.where(bmask & (col >= search_from), col,
+                                        CHUNK))
+                tn = jnp.max(jnp.where(col == pos, t_ids, -1))
+                is_mid = (tn != ft) & (tn != lt) & (tn < n_tiles)
+
+                @pl.when(is_mid)
+                def _():
+                    tc = jnp.minimum(tn, n_tiles - 1)
+                    pltpu.make_async_copy(fin_hbm.at[tc], mid.at[0],
+                                          mid_sems.at[0]).start()
+                    pltpu.make_async_copy(gfin_hbm.at[tc], mid.at[1],
+                                          mid_sems.at[1]).start()
+                    pltpu.make_async_copy(fin_hbm.at[tc], mid.at[0],
+                                          mid_sems.at[0]).wait()
+                    pltpu.make_async_copy(gfin_hbm.at[tc], mid.at[1],
+                                          mid_sems.at[1]).wait()
+
+                ga_m, r0_m, common_m = tile_vecs(mid[0], mid[1])
+                mm = (t_ids == tn) & is_mid
+                gr = jnp.where(mm, ga_m[:, 0:1], gr)
+                gg = jnp.where(mm, ga_m[:, 1:2], gg)
+                gb = jnp.where(mm, ga_m[:, 2:3], gb)
+                cm = jnp.where(mm, common_m, cm)
+                r0v = jnp.where(mm, r0_m, r0v)
+                return i + 1, pos + 1, gr, gg, gb, cm, r0v
+
+            s0 = (jnp.int32(0), jnp.int32(0)) + vecs
+            out = jax.lax.while_loop(
+                lambda s: (s[0] < n_bound) & has_middle, body2, s0)
+            return out[2:]
+
+        ga_r_vec, ga_g_vec, ga_b_vec, common_vec, r0_vec = apply_middles(
+            (ga_r_vec, ga_g_vec, ga_b_vec, common_vec, r0_vec))
+
+        # ---- vectorized gradient math over the whole chunk ----
+        px, py = _pixel_coords_lanes(t_ids, statics, n_pix)
+        terms = _chunk_terms(fields, px, py, statics)
+        alpha_eff = terms['alpha_eff']
+        dx, dy, gauss = terms['dx'], terms['dy'], terms['gauss']
+        one_minus = 1.0 - alpha_eff
+        incl = _seg_scan_mul(one_minus, t_ids)
+        excl = _seg_exclusive(incl, t_ids, 1.0)
+        state_v = state[:]
+        t_base = jnp.where(m_c, state_v[:, 1:2], 1.0)
+        r_base = jnp.where(m_c, state_v[:, 0:1], r0_vec)
+        t_before = t_base * excl
+        used = t_before >= thresh
+        w = jnp.where(used, t_before * alpha_eff, 0.0)
+
+        craw_r, craw_g, craw_b = fields[6:7], fields[7:8], fields[8:9]
+        cl_r = jnp.maximum(craw_r, 0.0)
+        cl_g = jnp.maximum(craw_g, 0.0)
+        cl_b = jnp.maximum(craw_b, 0.0)
+        cg = cl_r * ga_r_vec + cl_g * ga_g_vec + cl_b * ga_b_vec
+        u = w * cg
+        u_csum = _seg_scan_add(u, t_ids)
+        r_after = r_base - u_csum
+        guard = 1.0 / jnp.maximum(one_minus, guard_eps)
+        d_alpha = t_before * cg - r_after * guard + common_vec * guard
+        d_alpha = jnp.where(used & (alpha_eff > 0.0), d_alpha, 0.0)
+
+        def psum(x):
+            return jnp.sum(x, axis=0, keepdims=True)           # (1, C)
+
+        g_op = psum(gauss * d_alpha)
+        helper = -alpha_eff * d_alpha
+        gc_a = 0.5 * psum(helper * dx * dx)
+        gc_b = psum(helper * dx * dy)
+        gc_c = 0.5 * psum(helper * dy * dy)
+        gm_x = psum(helper * (terms['co_a'] * dx + terms['co_b'] * dy))
+        gm_y = psum(helper * (terms['co_b'] * dx + terms['co_c'] * dy))
+        gcol_r = psum(w * ga_r_vec) * (craw_r >= 0.0)
+        gcol_g = psum(w * ga_g_vec) * (craw_g >= 0.0)
+        gcol_b = psum(w * ga_b_vec) * (craw_b >= 0.0)
+        pad = jnp.zeros((FIELD_ROWS - 9, CHUNK), jnp.float32)
+        g_blk[:] = jnp.concatenate(
+            [gm_x, gm_y, gc_a, gc_b, gc_c, g_op,
+             gcol_r, gcol_g, gcol_b, pad], axis=0)
+
+        # ---- carry update for the trailing segment ----
+        ls = jnp.max(jnp.where(bmask, col, 0))                 # last seg start
+        tail = col >= ls
+        t_after = t_before * one_minus
+        fr = jnp.max(jnp.where(tail & (t_before < thresh), t_before, -1.0),
+                     axis=1, keepdims=True)
+        new_trans = jnp.where(fr >= 0.0, fr, t_after[:, CHUNK - 1:CHUNK])
+        state[:] = jnp.concatenate(
+            [r_after[:, CHUNK - 1:CHUNK], new_trans,
+             jnp.zeros((n_pix, 2), jnp.float32)], axis=1)
+        cur = jnp.max(t_ids)                                   # last lane tile
+        smem[0] = cur
+        done = (jnp.max(new_trans) < thresh) | (cur >= n_tiles)
+        smem[1] = done.astype(jnp.int32)
+
+
+def blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
+                          statics: BlendStatics, interpret=None):
+    """Returns per-instance gradient rows (16, I) in the stream layout."""
+    n_tiles = statics.grid_width * statics.grid_height
+    n_pix = statics.tile_width * statics.tile_height
+    n_inst = packed_t.shape[1]
+    n_chunks = n_inst // CHUNK
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    spec_tile_f = pl.BlockSpec((1, 4, n_pix),
+                               lambda k, ft, lt: (ft[k], 0, 0),
+                               memory_space=pltpu.VMEM)
+    spec_tile_l = pl.BlockSpec((1, 4, n_pix),
+                               lambda k, ft, lt: (lt[k], 0, 0),
+                               memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((FIELD_ROWS, CHUNK), lambda k, ft, lt: (0, k),
+                         memory_space=pltpu.VMEM),             # packed
+            spec_tile_f,                                       # fin @ first
+            spec_tile_f,                                       # g_fin @ first
+            spec_tile_l,                                       # fin @ last
+            spec_tile_l,                                       # g_fin @ last
+            pl.BlockSpec(memory_space=pl.ANY),              # fin (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),              # g_fin (HBM)
+        ],
+        out_specs=pl.BlockSpec((FIELD_ROWS, CHUNK), lambda k, ft, lt: (0, k),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_pix, 4), jnp.float32),
+            pltpu.VMEM((2, 4, n_pix), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, statics=statics),
+        out_shape=jax.ShapeDtypeStruct((FIELD_ROWS, n_inst), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(first_tile, last_tile, packed_t, fin, g_fin, fin, g_fin, fin, g_fin)
+
+
+# --------------------------------------------------------------------- #
+# custom_vjp wrapper
+# --------------------------------------------------------------------- #
+
+def _split_fin(fin):
+    """(T, 4, P) kernel layout → ((T, P, 3) acc, (T, P) transmittance)."""
+    return jnp.swapaxes(fin[:, 0:3, :], 1, 2), fin[:, 3, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def blend_stream(packed_t, first_tile, last_tile, statics: BlendStatics):
+    """(16, I) stream fields → ((T, P, 3) color acc, (T, P) transmittance).
+
+    first_tile/last_tile: (I/128,) i32 — tile id of each chunk's first/last
+    instance, clamped to n_tiles-1 (drive the backward's block pipeline).
+    """
+    return _split_fin(blend_stream_forward(packed_t, statics))
+
+
+def _fwd(packed_t, first_tile, last_tile, statics):
+    fin = blend_stream_forward(packed_t, statics)
+    return _split_fin(fin), (packed_t, first_tile, last_tile, fin)
+
+
+def _bwd(statics, residuals, cotangents):
+    packed_t, first_tile, last_tile, fin = residuals
+    g_acc, g_trans = cotangents
+    g_fin = jnp.concatenate(
+        [jnp.swapaxes(g_acc, 1, 2), g_trans[:, None, :]], axis=1)  # (T, 4, P)
+    g_packed = blend_stream_backward(packed_t, first_tile, last_tile,
+                                     fin, g_fin, statics)
+    return g_packed, None, None
+
+
+blend_stream.defvjp(_fwd, _bwd)

@@ -77,20 +77,28 @@ def render_from_primitives(
     pack9 = pack_blend_inputs(prims.mean2d, prims.conic, prims.opacity,
                               prims.color)
     if use_pallas:
-        from fastergs_tpu.ops import blend_pallas
-        from fastergs_tpu.ops.tiles import build_tile_instances_padded
-        pinst, n_instances, n_expanded = build_tile_instances_padded(
-            sg_prims, gw, gh, instance_cap, blend_pallas.CHUNK, consts)
+        from fastergs_tpu.ops import blend_stream
+        from fastergs_tpu.ops.tiles import build_tile_instances_compact
+        inst = build_tile_instances_compact(
+            sg_prims, gw, gh, instance_cap, consts)
+        n_instances, n_expanded = inst.n_instances, inst.n_expanded_instances
         # gather the NARROW (9-col) rows — the gather and its scatter-add
-        # transpose are bandwidth-bound — then pad to 16 fields for the
-        # kernel's HBM sublane tiling (the pad's backward is a free slice)
+        # transpose are row-latency-bound — then append the per-instance
+        # tile-id row and pad to 16 fields for the kernel's sublane tiling
+        # (the pad/tile rows' backward is a free slice)
         pack_s = jnp.concatenate(
             [pack9, jnp.zeros((1, pack9.shape[1]), pack9.dtype)], axis=0)
-        rows9 = pack_s[pinst.gaussian_idx]                   # (I_pad, 9)
-        packed_t = jnp.pad(
-            rows9, ((0, 0), (0, blend_pallas.FIELD_ROWS - 9))).T  # (16, I_pad)
-        acc, trans = blend_pallas.blend_tiles_pallas(
-            packed_t, pinst.tile_start, pinst.tile_end, statics)
+        rows9 = pack_s[inst.gaussian_idx]                    # (I, 9)
+        cap = rows9.shape[0]
+        packed_t = jnp.concatenate(
+            [rows9, inst.tile_idx.astype(jnp.float32)[:, None],
+             jnp.zeros((cap, blend_stream.FIELD_ROWS - 10), jnp.float32)],
+            axis=1).T                                        # (16, I)
+        # per-chunk first/last tile ids drive the backward's block pipeline
+        c = blend_stream.CHUNK
+        ft = jnp.minimum(inst.tile_idx[::c], gw * gh - 1)
+        lt = jnp.minimum(inst.tile_idx[c - 1::c], gw * gh - 1)
+        acc, trans = blend_stream.blend_stream(packed_t, ft, lt, statics)
     else:
         inst: TileInstances = build_tile_instances(
             sg_prims, gw, gh, instance_cap, consts, exact_tile_test)

@@ -111,7 +111,9 @@ def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
     """Expands Gaussians into unsorted (tile_key, depth_key, owner) slots.
 
     Returns (tile_key, depth_key, own, total) of length instance_cap;
-    out-of-range slots carry tile_key == n_tiles (sentinel).
+    out-of-range slots carry tile_key == n_tiles (sentinel). The slot→owner
+    map rides the SAME delta-scatter + cumsum as the other integer columns
+    (one scatter total — XLA scatters carry a large fixed cost on TPU).
     """
     n_tiles = grid_width * grid_height
     counts = prims.n_touched  # (N,) exact (or conservative) counts, 0 if culled
@@ -121,15 +123,9 @@ def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
     starts = (offsets - counts).astype(jnp.int32)
     has = counts > 0
 
-    # slot → owning Gaussian: scatter index at segment starts, running max
-    starts_masked = jnp.where(has, starts, instance_cap).astype(jnp.int32)
-    own0 = jnp.zeros(instance_cap, jnp.int32).at[starts_masked].max(
-        jnp.arange(counts.shape[0], dtype=jnp.int32), mode='drop',
-        unique_indices=True, indices_are_sorted=True)
-    own = jax.lax.cummax(own0)
-
     # per-instance integer fields via segment fill (no gathers)
     rect = prims.rect
+    n = counts.shape[0]
     columns = jnp.stack([
         starts,                                       # 0: segment start
         rect[:, 0],                                   # 1: x0
@@ -139,8 +135,10 @@ def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
         prims.tile_mask[:, 0],                        # 5: mask lo
         prims.tile_mask[:, 1],                        # 6: mask hi
         prims.exact.astype(jnp.int32),                # 7: exact flag
+        jnp.arange(n, dtype=jnp.int32),               # 8: owner index
     ], axis=1)
     filled = _segment_fill_int(columns, has, starts, instance_cap)
+    own = filled[:, 8]
 
     slot = jnp.arange(instance_cap, dtype=jnp.int32)
     in_range = slot < total
@@ -195,6 +193,47 @@ def build_tile_instances(
         tile_start=tile_start,
         tile_end=tile_end,
         n_instances=n_instances,
+        n_expanded_instances=total.astype(jnp.int32),
+    )
+
+
+class CompactTileInstances(NamedTuple):
+    """Tile-sorted instance stream with NO padding or ranges.
+
+    Feeds the chunk-major streaming blend kernels (ops/blend_stream.py),
+    which detect tile boundaries from `tile_idx` in-kernel — so no per-tile
+    histogram, alignment dummies, or searchsorted ranges are needed.
+    """
+    gaussian_idx: jnp.ndarray    # (I,) i32; sentinel = n_gaussians
+    tile_idx: jnp.ndarray        # (I,) i32; sentinel = n_tiles
+    n_instances: jnp.ndarray     # () i32 contributing instances (≤ cap)
+    n_expanded_instances: jnp.ndarray  # () i32 slots required (overflow)
+
+
+def build_tile_instances_compact(
+    prims: Primitives2D,
+    grid_width: int,
+    grid_height: int,
+    instance_cap: int,
+    consts: RasterizerConstants = DEFAULT_CONSTANTS,
+) -> CompactTileInstances:
+    """Expansion + ONE lexicographic sort; nothing else.
+
+    The single sort replaces the reference's dual radix sort
+    (forward.cu:104-110, 195-202); sentinel slots (tile == n_tiles,
+    owner == n_gaussians) sort to the end of the stream.
+    """
+    n_gaussians = prims.rect.shape[0]
+    tile_key, depth_key, own, total = _expand_instances(
+        prims, grid_width, grid_height, instance_cap)
+    slot = jnp.arange(instance_cap, dtype=jnp.int32)
+    own = jnp.where(slot < total, own, n_gaussians)
+    sorted_tile, _, sorted_g = jax.lax.sort(
+        (tile_key, depth_key, own), num_keys=2, is_stable=False)
+    return CompactTileInstances(
+        gaussian_idx=sorted_g,
+        tile_idx=sorted_tile,
+        n_instances=jnp.minimum(total, instance_cap).astype(jnp.int32),
         n_expanded_instances=total.astype(jnp.int32),
     )
 

@@ -1,0 +1,99 @@
+"""Edge cases for the chunk-major streaming blend kernels (interpret mode).
+
+The main fwd/bwd parity check vs the XLA blend runs in test_blend_pallas.py
+(diff_rasterize with use_pallas=True now routes through ops/blend_stream.py).
+Here: boundary conditions the stream design is sensitive to — empty tiles,
+early termination, the sentinel tail, and tiles ending exactly at chunk
+boundaries.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fastergs_tpu.ops.rasterize import diff_rasterize
+from tests.helpers import make_camera, make_scene, make_settings
+
+
+def _compare(scene, cam, cap, bg=(0.0, 0.0, 0.0)):
+    settings = make_settings(cam, bg=bg)
+    img_x, aux_x = diff_rasterize(*scene, settings, instance_cap=cap,
+                                  use_pallas=False)
+    img_p, aux_p = diff_rasterize(*scene, settings, instance_cap=cap,
+                                  use_pallas=True)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               rtol=1e-5, atol=1e-6)
+    assert int(aux_p.n_instances) == int(aux_x.n_instances)
+    return img_p
+
+
+def test_stream_sparse_scene_empty_tiles():
+    """A few tiny Gaussians: most tiles are empty (tile-skip writes)."""
+    cam = make_camera(width=64, height=64)  # 4x4 tiles
+    scene = make_scene(n=3, seed=5, spread=0.08)  # clustered center
+    _compare(scene, cam, cap=1 << 9)
+
+
+def test_stream_no_instances():
+    """All Gaussians behind the camera: pure-background image."""
+    cam = make_camera(width=48, height=32)
+    scene = list(make_scene(n=16, seed=7))
+    means = np.array(scene[0])
+    means[:, 2] = -5.0  # behind near plane
+    scene[0] = jnp.asarray(means)
+    img = _compare(tuple(scene), cam, cap=1 << 9, bg=(0.3, 0.5, 0.7))
+    np.testing.assert_allclose(np.asarray(img[0]), 0.3, atol=1e-6)
+
+
+def test_stream_opaque_early_termination():
+    """High-opacity stacked Gaussians: transmittance freezes mid-stream."""
+    cam = make_camera(width=32, height=32)
+    scene = list(make_scene(n=400, seed=11, spread=0.05))
+    # crank raw opacities -> sigmoid ~ 0.999
+    scene[3] = jnp.full_like(scene[3], 7.0)
+    settings = make_settings(cam)
+    img_x, _ = diff_rasterize(*scene, settings, instance_cap=1 << 11,
+                              use_pallas=False)
+    img_p, _ = diff_rasterize(*scene, settings, instance_cap=1 << 11,
+                              use_pallas=True)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               rtol=1e-5, atol=1e-6)
+
+    # gradients under early termination
+    key_pix = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, img_x.shape), jnp.float32)
+
+    def loss(use_pallas):
+        def f(means, ops):
+            img, _ = diff_rasterize(means, scene[1], scene[2], ops,
+                                    *scene[4:], settings,
+                                    instance_cap=1 << 11,
+                                    use_pallas=use_pallas)
+            return jnp.sum(img * key_pix)
+        return f
+
+    gx = jax.grad(loss(False), argnums=(0, 1))(scene[0], scene[3])
+    gp = jax.grad(loss(True), argnums=(0, 1))(scene[0], scene[3])
+    # near the early-termination threshold the blend weight is discontinuous;
+    # fp ordering differences between the segmented kernel scans and the XLA
+    # composition can legitimately flip a handful of borderline fragments
+    # (verified: the stream kernel matches the per-tile Pallas kernel to
+    # 3e-5 on this scene). Require 99% element agreement.
+    for a, b in zip(gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        d = np.abs(a - b)
+        ok = (d <= 2e-6) | (d <= 2e-4 * np.abs(b))
+        assert ok.mean() > 0.99, f'{ok.mean()=}'
+
+
+def test_stream_tiny_cap_exact_chunks():
+    """Instance count filling the capacity exactly (no sentinel tail)."""
+    cam = make_camera(width=48, height=48)
+    scene = make_scene(n=60, seed=13, spread=0.6)
+    settings = make_settings(cam)
+    # find the real instance count, then use the smallest multiple of 128
+    _, aux = diff_rasterize(*scene, settings, instance_cap=1 << 11,
+                            use_pallas=False)
+    n = int(aux.n_instances)
+    cap = max(128, ((n + 127) // 128) * 128)
+    _compare(scene, cam, cap=cap)
