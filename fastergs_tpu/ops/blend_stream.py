@@ -59,41 +59,50 @@ def _col(shape=(1, CHUNK)):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
 
-def _seg_scan_mul(x, t):
-    """Segmented inclusive cumulative product along lanes.
+def _seg_start_lane(t_ids):
+    """(1, C) lane index of each lane's segment start (0 for the first).
 
-    Segments are maximal runs of equal tile id `t` (1, C); the segment
-    condition rides the same log-step rolls as the scan itself.
+    A 7-step max-scan over a single (1, C) i32 row — negligible next to the
+    (P, C) math it steers.
     """
+    col = _col()
+    b = (col > 0) & (t_ids != pltpu.roll(t_ids, 1, axis=1))
+    x = jnp.where(b, col, 0)
     step = 1
     while step < CHUNK:
-        xs = pltpu.roll(x, step, axis=1)
-        ts = pltpu.roll(t, step, axis=1)
-        ok = (_col() >= step) & (t == ts)
-        x = x * jnp.where(ok, xs, 1.0)
+        x = jnp.maximum(x, jnp.where(col >= step,
+                                     pltpu.roll(x, step, axis=1), 0))
         step *= 2
     return x
 
 
-def _seg_scan_add(x, t):
-    """Segmented inclusive cumulative sum along lanes."""
-    step = 1
-    while step < CHUNK:
-        xs = pltpu.roll(x, step, axis=1)
-        ts = pltpu.roll(t, step, axis=1)
-        ok = (_col() >= step) & (t == ts)
-        x = x + jnp.where(ok, xs, 0.0)
-        step *= 2
-    return x
+def _tri():
+    """(C, C) upper-triangular ones: cumsum along lanes as ONE MXU matmul
+    instead of a log2(C)-step shifted-add scan over the full (P, C) tile."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (ri <= ci).astype(jnp.float32)
 
 
-def _seg_exclusive(incl, t, identity):
-    """Shifts a segmented inclusive scan to exclusive (identity at each
-    segment's first lane)."""
-    excl = pltpu.roll(incl, 1, axis=1)
-    ts = pltpu.roll(t, 1, axis=1)
-    first = (_col() == 0) | (t != ts)
-    return jnp.where(first, identity, excl)
+def _seg_cumsum_mxu(x, seg0, exclusive):
+    """Segmented cumulative sum along lanes via MXU + one lane gather.
+
+    x: (P, C); seg0: (1, C) per-lane segment start. cumsum(x) on the MXU,
+    then subtract each lane's prefix at its segment start (gathered along
+    lanes — Mosaic supports lane-axis take_along_axis).
+    """
+    full = jax.lax.dot_general(x, _tri(), (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    idx = jnp.maximum(seg0 - 1, 0)
+    prev = jnp.take_along_axis(full, jnp.broadcast_to(idx, x.shape), axis=1)
+    prev = jnp.where(seg0 > 0, prev, 0.0)
+    out = full - prev
+    return out - x if exclusive else out
+
+
+# alpha clamp keeping log1p finite; exp(-16.6) ~ 6e-8 is far below any
+# transmittance threshold, so semantics are unchanged
+_ALPHA_LOG_MAX = 1.0 - 6e-8
 
 
 def _pixel_coords_lanes(t_ids, statics: BlendStatics, n_pix):
@@ -215,8 +224,9 @@ def _fwd_kernel(packed_blk, out_hbm, stage, state, smem, sems,
         terms = _chunk_terms(fields, px, py, statics)
         alpha_eff = terms['alpha_eff']
         one_minus = 1.0 - alpha_eff
-        incl = _seg_scan_mul(one_minus, t_ids)
-        excl = _seg_exclusive(incl, t_ids, 1.0)
+        seg0 = _seg_start_lane(t_ids)
+        logs = jnp.log1p(-jnp.minimum(alpha_eff, _ALPHA_LOG_MAX))
+        excl = jnp.exp(_seg_cumsum_mxu(logs, seg0, exclusive=True))
         state_v = state[:]                                     # (P, 4)
         trans_carry = state_v[:, 3:4]                          # (P, 1)
         base = jnp.where(t_ids == cur0, trans_carry, 1.0)      # (P, C)
@@ -333,15 +343,20 @@ def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None):
 # backward
 # --------------------------------------------------------------------- #
 
-def _bwd_kernel(ft_ref, lt_ref, packed_blk, fin_f, gfin_f, fin_l, gfin_l,
-                fin_hbm, gfin_hbm, g_blk, state, mid, smem, mid_sems,
+def _bwd_kernel(ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
+                g_blk, state, mid, smem, mid_sems,
                 statics: BlendStatics):
     """Backward chunk step.
 
-    Per-tile quantities (final color/transmittance and the image cotangent)
-    arrive through two auto-pipelined (1, P, 4) block pairs keyed by the
-    chunk's first and last tile (prefetched scalars); the rare tiles fully
-    interior to a chunk are fetched synchronously from HBM (`mid`).
+    Per-tile quantities arrive through ONE XLA-built aux table (T, 8, P):
+    sublane channels [ga_r, ga_g, ga_b, r0, common, pad] — r0 and common
+    are precomputed outside the kernel, and one table halves the DMA
+    streams vs separate fin/g_fin blocks. (Channels must ride sublanes:
+    an 8-wide lane dimension cannot be sliced out of HBM — Mosaic needs
+    the last dim 128-aligned.) Two auto-pipelined (1, 8, P) blocks are
+    keyed by the chunk's first and last tile (prefetched scalars); the
+    rare tiles fully interior to a chunk are fetched synchronously from
+    HBM (`mid`).
 
     state: (P, 4) VMEM — ch 0 = residual-grad carry r, ch 1 = transmittance
     carry of the in-progress tile. smem: [0] = tile in progress, [1] done.
@@ -378,16 +393,12 @@ def _bwd_kernel(ft_ref, lt_ref, packed_blk, fin_f, gfin_f, fin_l, gfin_l,
         ft = ft_ref[k]
         lt = lt_ref[k]
 
-        def tile_vecs(fin_rows, gfin_rows):
-            """(4, P) tile blocks → (ga (P,3), r0 (P,1), common (P,1))."""
-            ga = gfin_rows[0:3, :].T                           # (P, 3)
-            r0 = jnp.sum(fin_rows[0:3, :] * gfin_rows[0:3, :],
-                         axis=0, keepdims=True).T              # (P, 1)
-            common = (-fin_rows[3:4, :] * gfin_rows[3:4, :]).T
-            return ga, r0, common
+        def tile_vecs(aux_cp):
+            """(8, P) aux block → (ga (P,3), r0 (P,1), common (P,1))."""
+            return aux_cp[0:3, :].T, aux_cp[3:4, :].T, aux_cp[4:5, :].T
 
-        ga_f, r0_f, common_f = tile_vecs(fin_f[0], gfin_f[0])
-        ga_l, r0_l, common_l = tile_vecs(fin_l[0], gfin_l[0])
+        ga_f, r0_f, common_f = tile_vecs(aux_f[0])
+        ga_l, r0_l, common_l = tile_vecs(aux_l[0])
 
         m_f = t_ids == ft                                      # (1, C)
         m_l = t_ids == lt
@@ -421,16 +432,11 @@ def _bwd_kernel(ft_ref, lt_ref, packed_blk, fin_f, gfin_f, fin_l, gfin_l,
                 @pl.when(is_mid)
                 def _():
                     tc = jnp.minimum(tn, n_tiles - 1)
-                    pltpu.make_async_copy(fin_hbm.at[tc], mid.at[0],
-                                          mid_sems.at[0]).start()
-                    pltpu.make_async_copy(gfin_hbm.at[tc], mid.at[1],
-                                          mid_sems.at[1]).start()
-                    pltpu.make_async_copy(fin_hbm.at[tc], mid.at[0],
-                                          mid_sems.at[0]).wait()
-                    pltpu.make_async_copy(gfin_hbm.at[tc], mid.at[1],
-                                          mid_sems.at[1]).wait()
+                    cp = pltpu.make_async_copy(aux_hbm.at[tc], mid, mid_sems)
+                    cp.start()
+                    cp.wait()
 
-                ga_m, r0_m, common_m = tile_vecs(mid[0], mid[1])
+                ga_m, r0_m, common_m = tile_vecs(mid[:])
                 mm = (t_ids == tn) & is_mid
                 gr = jnp.where(mm, ga_m[:, 0:1], gr)
                 gg = jnp.where(mm, ga_m[:, 1:2], gg)
@@ -453,8 +459,9 @@ def _bwd_kernel(ft_ref, lt_ref, packed_blk, fin_f, gfin_f, fin_l, gfin_l,
         alpha_eff = terms['alpha_eff']
         dx, dy, gauss = terms['dx'], terms['dy'], terms['gauss']
         one_minus = 1.0 - alpha_eff
-        incl = _seg_scan_mul(one_minus, t_ids)
-        excl = _seg_exclusive(incl, t_ids, 1.0)
+        seg0 = _seg_start_lane(t_ids)
+        logs = jnp.log1p(-jnp.minimum(alpha_eff, _ALPHA_LOG_MAX))
+        excl = jnp.exp(_seg_cumsum_mxu(logs, seg0, exclusive=True))
         state_v = state[:]
         t_base = jnp.where(m_c, state_v[:, 1:2], 1.0)
         r_base = jnp.where(m_c, state_v[:, 0:1], r0_vec)
@@ -468,7 +475,7 @@ def _bwd_kernel(ft_ref, lt_ref, packed_blk, fin_f, gfin_f, fin_l, gfin_l,
         cl_b = jnp.maximum(craw_b, 0.0)
         cg = cl_r * ga_r_vec + cl_g * ga_g_vec + cl_b * ga_b_vec
         u = w * cg
-        u_csum = _seg_scan_add(u, t_ids)
+        u_csum = _seg_cumsum_mxu(u, seg0, exclusive=False)
         r_after = r_base - u_csum
         guard = 1.0 / jnp.maximum(one_minus, guard_eps)
         d_alpha = t_before * cg - r_after * guard + common_vec * guard
@@ -508,19 +515,37 @@ def _bwd_kernel(ft_ref, lt_ref, packed_blk, fin_f, gfin_f, fin_l, gfin_l,
         smem[1] = done.astype(jnp.int32)
 
 
+def build_tile_aux(fin, g_fin):
+    """Precomputes the per-tile backward quantities, pixel-major.
+
+    fin, g_fin: (T, 4, P) kernel-layout final state and its cotangent.
+    Returns (T, 8, P): sublane channels [ga_r, ga_g, ga_b, r0, common,
+    pad x3] where r0 = <final color, color cotangent> and common =
+    -T_final * g_T (the reference's accumulated-grad initialization,
+    kernels_backward.cuh:300-331).
+    """
+    ga = g_fin[:, 0:3, :]                                      # (T, 3, P)
+    r0 = jnp.sum(fin[:, 0:3, :] * g_fin[:, 0:3, :], axis=1)    # (T, P)
+    common = -fin[:, 3, :] * g_fin[:, 3, :]
+    n_tiles, n_pix = r0.shape
+    return jnp.concatenate(
+        [ga, r0[:, None, :], common[:, None, :],
+         jnp.zeros((n_tiles, 3, n_pix), jnp.float32)], axis=1)
+
+
 def blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
                           statics: BlendStatics, interpret=None):
     """Returns per-instance gradient rows (16, I) in the stream layout."""
-    n_tiles = statics.grid_width * statics.grid_height
     n_pix = statics.tile_width * statics.tile_height
     n_inst = packed_t.shape[1]
     n_chunks = n_inst // CHUNK
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
-    spec_tile_f = pl.BlockSpec((1, 4, n_pix),
+    aux = build_tile_aux(fin, g_fin)
+    spec_tile_f = pl.BlockSpec((1, 8, n_pix),
                                lambda k, ft, lt: (ft[k], 0, 0),
                                memory_space=pltpu.VMEM)
-    spec_tile_l = pl.BlockSpec((1, 4, n_pix),
+    spec_tile_l = pl.BlockSpec((1, 8, n_pix),
                                lambda k, ft, lt: (lt[k], 0, 0),
                                memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -529,20 +554,17 @@ def blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
         in_specs=[
             pl.BlockSpec((FIELD_ROWS, CHUNK), lambda k, ft, lt: (0, k),
                          memory_space=pltpu.VMEM),             # packed
-            spec_tile_f,                                       # fin @ first
-            spec_tile_f,                                       # g_fin @ first
-            spec_tile_l,                                       # fin @ last
-            spec_tile_l,                                       # g_fin @ last
-            pl.BlockSpec(memory_space=pl.ANY),              # fin (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),              # g_fin (HBM)
+            spec_tile_f,                                       # aux @ first
+            spec_tile_l,                                       # aux @ last
+            pl.BlockSpec(memory_space=pl.ANY),                 # aux (HBM)
         ],
         out_specs=pl.BlockSpec((FIELD_ROWS, CHUNK), lambda k, ft, lt: (0, k),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((n_pix, 4), jnp.float32),
-            pltpu.VMEM((2, 4, n_pix), jnp.float32),
+            pltpu.VMEM((8, n_pix), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
@@ -551,7 +573,7 @@ def blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(first_tile, last_tile, packed_t, fin, g_fin, fin, g_fin, fin, g_fin)
+    )(first_tile, last_tile, packed_t, aux, aux, aux)
 
 
 # --------------------------------------------------------------------- #
