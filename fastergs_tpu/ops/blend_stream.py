@@ -105,35 +105,66 @@ def _seg_cumsum_mxu(x, seg0, exclusive):
 _ALPHA_LOG_MAX = 1.0 - 6e-8
 
 
-def _pixel_coords_lanes(t_ids, statics: BlendStatics, n_pix):
-    """Per-(pixel, lane) pixel centers: each lane evaluates against its OWN
-    tile's pixel block (lanes may span tiles)."""
+def _basis(n_pix, tw, th):
+    """(P, 8) constant tile-local pixel basis [lx², lx, ly², ly, lx·ly, 1,
+    0, 0] (lx/ly are pixel centers within a tile).
+
+    The per-(pixel, instance) Gaussian power is a quadratic form in tile-
+    local coordinates, so it factors into basis @ per-instance coefficients
+    — ONE small MXU matmul per chunk instead of ~8 VPU ops on the full
+    (P, C) tile. The same basis contracted against the backward's helper
+    field yields all five second-moment reductions as one matmul.
+    """
+    p = jax.lax.broadcasted_iota(jnp.int32, (n_pix, 1), 0)
+    # tile-CENTER origin halves |coordinate| ranges vs a corner origin,
+    # which halves the cancellation error of the expanded quadratic form
+    lx = (p % tw).astype(jnp.float32) + 0.5 - 0.5 * tw
+    ly = (p // tw).astype(jnp.float32) + 0.5 - 0.5 * th
+    one = jnp.ones_like(lx)
+    zero = jnp.zeros_like(lx)
+    return jnp.concatenate(
+        [lx * lx, lx, ly * ly, ly, lx * ly, one, zero, zero], axis=1)
+
+
+def _power_coeffs(fields, t_ids, statics: BlendStatics):
+    """Per-lane quadratic-form coefficients (8, C) + tile-local means.
+
+    power(p, c) = -0.5·(mean - pixel)ᵀ conic (mean - pixel) expanded in the
+    tile-local basis; numerically safe because the contribution test bounds
+    |power| at accepted tiles, which bounds every expanded term.
+    """
     tw, th = statics.tile_width, statics.tile_height
     tx = (t_ids % statics.grid_width).astype(jnp.float32)      # (1, C)
     ty = (t_ids // statics.grid_width).astype(jnp.float32)
-    p = jax.lax.broadcasted_iota(jnp.int32, (n_pix, 1), 0)
-    px = tx * tw + (p % tw).astype(jnp.float32) + 0.5          # (P, C)
-    py = ty * th + (p // tw).astype(jnp.float32) + 0.5
-    return px, py
+    mxl = fields[0:1] - (tx + 0.5) * tw                                # tile-local
+    myl = fields[1:2] - (ty + 0.5) * th
+    ca, cb, cc = fields[2:3], fields[3:4], fields[4:5]
+    zero = jnp.zeros_like(ca)
+    k = jnp.concatenate([
+        -0.5 * ca,                                             # lx²
+        ca * mxl + cb * myl,                                   # lx
+        -0.5 * cc,                                             # ly²
+        cc * myl + cb * mxl,                                   # ly
+        -cb,                                                   # lx·ly
+        -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl,  # 1
+        zero, zero], axis=0)                                   # (8, C)
+    return k, mxl, myl
 
 
-def _chunk_terms(fields, px, py, statics: BlendStatics):
-    """Per-(pixel, instance) alpha math (kernels_forward.cuh:431-446)."""
-    m_x, m_y = fields[0:1], fields[1:2]                        # (1, C)
-    co_a, co_b, co_c = fields[2:3], fields[3:4], fields[4:5]
-    op = fields[5:6]
-    dx = m_x - px                                              # (P, C)
-    dy = m_y - py
-    power = -0.5 * (co_a * dx * dx + co_c * dy * dy) - co_b * dx * dy
+def _mm(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _alpha_eff_from_power(power, op, statics: BlendStatics):
+    """(P, C) power → effective alpha (kernels_forward.cuh:431-446)."""
     gauss = jnp.exp(jnp.minimum(power, 0.0))
     alpha = op * gauss
     if statics.original_opacity_interpretation:
         ok = alpha >= statics.min_alpha_threshold
     else:
         ok = gauss >= statics.min_alpha_threshold
-    alpha_eff = jnp.where(ok, alpha, 0.0)
-    return dict(dx=dx, dy=dy, gauss=gauss, alpha_eff=alpha_eff,
-                co_a=co_a, co_b=co_b, co_c=co_c)
+    return jnp.where(ok, alpha, 0.0)
 
 
 def _extract_at_lane(x, pos):
@@ -220,9 +251,9 @@ def _fwd_kernel(packed_blk, out_hbm, stage, state, smem, sems,
 
     @pl.when(heavy)
     def _():
-        px, py = _pixel_coords_lanes(t_ids, statics, n_pix)
-        terms = _chunk_terms(fields, px, py, statics)
-        alpha_eff = terms['alpha_eff']
+        coeffs, _, _ = _power_coeffs(fields, t_ids, statics)
+        power = _mm(_basis(n_pix, statics.tile_width, statics.tile_height), coeffs)  # (P, C)
+        alpha_eff = _alpha_eff_from_power(power, fields[5:6], statics)
         one_minus = 1.0 - alpha_eff
         seg0 = _seg_start_lane(t_ids)
         logs = jnp.log1p(-jnp.minimum(alpha_eff, _ALPHA_LOG_MAX))
@@ -454,10 +485,11 @@ def _bwd_kernel(ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
             (ga_r_vec, ga_g_vec, ga_b_vec, common_vec, r0_vec))
 
         # ---- vectorized gradient math over the whole chunk ----
-        px, py = _pixel_coords_lanes(t_ids, statics, n_pix)
-        terms = _chunk_terms(fields, px, py, statics)
-        alpha_eff = terms['alpha_eff']
-        dx, dy, gauss = terms['dx'], terms['dy'], terms['gauss']
+        basis = _basis(n_pix, statics.tile_width, statics.tile_height)
+        coeffs, mxl, myl = _power_coeffs(fields, t_ids, statics)
+        power = _mm(basis, coeffs)                             # (P, C)
+        op = fields[5:6]
+        alpha_eff = _alpha_eff_from_power(power, op, statics)
         one_minus = 1.0 - alpha_eff
         seg0 = _seg_start_lane(t_ids)
         logs = jnp.log1p(-jnp.minimum(alpha_eff, _ALPHA_LOG_MAX))
@@ -484,13 +516,26 @@ def _bwd_kernel(ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
         def psum(x):
             return jnp.sum(x, axis=0, keepdims=True)           # (1, C)
 
-        g_op = psum(gauss * d_alpha)
+        # helper-field moments against the tile-local basis: all five
+        # second-moment reductions (dL/d{conic, mean2d}) in ONE matmul
+        # (the per-pixel dx/dy tensors never materialize)
         helper = -alpha_eff * d_alpha
-        gc_a = 0.5 * psum(helper * dx * dx)
-        gc_b = psum(helper * dx * dy)
-        gc_c = 0.5 * psum(helper * dy * dy)
-        gm_x = psum(helper * (terms['co_a'] * dx + terms['co_b'] * dy))
-        gm_y = psum(helper * (terms['co_b'] * dx + terms['co_c'] * dy))
+        mom = jax.lax.dot_general(basis, helper,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        m_lx2, m_lx = mom[0:1], mom[1:2]                       # Σh·lx², Σh·lx
+        m_ly2, m_ly = mom[2:3], mom[3:4]
+        m_lxy, m0 = mom[4:5], mom[5:6]
+        hdx = mxl * m0 - m_lx                                  # Σ h·dx
+        hdy = myl * m0 - m_ly
+        gc_a = 0.5 * (mxl * mxl * m0 - 2.0 * mxl * m_lx + m_lx2)
+        gc_b = mxl * myl * m0 - mxl * m_ly - myl * m_lx + m_lxy
+        gc_c = 0.5 * (myl * myl * m0 - 2.0 * myl * m_ly + m_ly2)
+        ca, cb, cc = fields[2:3], fields[3:4], fields[4:5]
+        gm_x = ca * hdx + cb * hdy
+        gm_y = cb * hdx + cc * hdy
+        # Σ gauss·dα == -Σ h / opacity (h vanishes wherever alpha_eff does)
+        g_op = -m0 / jnp.maximum(op, 1e-20)
         gcol_r = psum(w * ga_r_vec) * (craw_r >= 0.0)
         gcol_g = psum(w * ga_g_vec) * (craw_g >= 0.0)
         gcol_b = psum(w * ga_b_vec) * (craw_b >= 0.0)

@@ -134,7 +134,11 @@ def preprocess(
         visible &= opacity >= consts.min_alpha_threshold
 
     # --- 3d covariance (kernels_forward.cuh:78-96) ---
+    # Struct-of-arrays component form throughout: (N, 3, 3) stacks/einsums
+    # produce 3-wide minor dimensions that the TPU vector unit cannot tile;
+    # explicit (N,) component arithmetic keeps every op a full-lane vector op.
     variance = jnp.exp(2.0 * raw_scales)  # (N, 3)
+    v1, v2, v3 = variance[:, 0], variance[:, 1], variance[:, 2]
     q = raw_rotations
     norm_sq = jnp.sum(q * q, axis=-1)
     visible &= norm_sq >= 1e-8
@@ -143,13 +147,23 @@ def preprocess(
     xx, yy, zz = x_ * x_, y_ * y_, z_ * z_
     xy, xz, yz = x_ * y_, x_ * z_, y_ * z_
     rx, ry, rz = r_ * x_, r_ * y_, r_ * z_
-    R = jnp.stack([
-        jnp.stack([1.0 - 2.0 * (yy + zz) * s, 2.0 * (xy - rz) * s, 2.0 * (xz + ry) * s], -1),
-        jnp.stack([2.0 * (xy + rz) * s, 1.0 - 2.0 * (xx + zz) * s, 2.0 * (yz - rx) * s], -1),
-        jnp.stack([2.0 * (xz - ry) * s, 2.0 * (yz + rx) * s, 1.0 - 2.0 * (xx + yy) * s], -1),
-    ], axis=-2)  # (N, 3, 3)
-    RSS = R * variance[:, None, :]
-    cov3d = RSS @ jnp.swapaxes(R, -1, -2)  # (N, 3, 3) symmetric
+    # rotation matrix components (rows ra*, rb*, rc*)
+    ra1 = 1.0 - 2.0 * (yy + zz) * s
+    ra2 = 2.0 * (xy - rz) * s
+    ra3 = 2.0 * (xz + ry) * s
+    rb1 = 2.0 * (xy + rz) * s
+    rb2 = 1.0 - 2.0 * (xx + zz) * s
+    rb3 = 2.0 * (yz - rx) * s
+    rc1 = 2.0 * (xz - ry) * s
+    rc2 = 2.0 * (yz + rx) * s
+    rc3 = 1.0 - 2.0 * (xx + yy) * s
+    # cov3d = R diag(variance) R^T, six unique components
+    c11 = ra1 * ra1 * v1 + ra2 * ra2 * v2 + ra3 * ra3 * v3
+    c12 = ra1 * rb1 * v1 + ra2 * rb2 * v2 + ra3 * rb3 * v3
+    c13 = ra1 * rc1 * v1 + ra2 * rc2 * v2 + ra3 * rc3 * v3
+    c22 = rb1 * rb1 * v1 + rb2 * rb2 * v2 + rb3 * rb3 * v3
+    c23 = rb1 * rc1 * v1 + rb2 * rc2 * v2 + rb3 * rc3 * v3
+    c33 = rc1 * rc1 * v1 + rc2 * rc2 * v2 + rc3 * rc3 * v3
 
     # --- normalized image coords (kernels_forward.cuh:99-102) ---
     x = (means @ r1[:3] + r1[3]) / safe_depth
@@ -166,16 +180,25 @@ def preprocess(
     j13 = -j11 * x_clipped
     j22 = cam.focal_y / safe_depth
     j23 = -j22 * y_clipped
-    # JW rows: (N, 3)
-    jw_r1 = j11[:, None] * r1[None, :3] + j13[:, None] * r3[None, :3]
-    jw_r2 = j22[:, None] * r2[None, :3] + j23[:, None] * r3[None, :3]
+    # JW rows in components: w1k = j11*r1[k] + j13*r3[k] (camera rows are
+    # (3,) scalars broadcast over lanes)
+    w11 = j11 * r1[0] + j13 * r3[0]
+    w12 = j11 * r1[1] + j13 * r3[1]
+    w13 = j11 * r1[2] + j13 * r3[2]
+    w21 = j22 * r2[0] + j23 * r3[0]
+    w22 = j22 * r2[1] + j23 * r3[1]
+    w23 = j22 * r2[2] + j23 * r3[2]
 
     # cov2d = JW cov3d JW^T (kernels_forward.cuh:125-139)
-    jwc_r1 = jnp.einsum('ni,nij->nj', jw_r1, cov3d)
-    jwc_r2 = jnp.einsum('ni,nij->nj', jw_r2, cov3d)
-    cov_a_raw = jnp.sum(jwc_r1 * jw_r1, axis=-1)
-    cov_b = jnp.sum(jwc_r1 * jw_r2, axis=-1)
-    cov_c_raw = jnp.sum(jwc_r2 * jw_r2, axis=-1)
+    jwc11 = w11 * c11 + w12 * c12 + w13 * c13
+    jwc12 = w11 * c12 + w12 * c22 + w13 * c23
+    jwc13 = w11 * c13 + w12 * c23 + w13 * c33
+    jwc21 = w21 * c11 + w22 * c12 + w23 * c13
+    jwc22 = w21 * c12 + w22 * c22 + w23 * c23
+    jwc23 = w21 * c13 + w22 * c23 + w23 * c33
+    cov_a_raw = jwc11 * w11 + jwc12 * w12 + jwc13 * w13
+    cov_b = jwc11 * w21 + jwc12 * w22 + jwc13 * w23
+    cov_c_raw = jwc21 * w21 + jwc22 * w22 + jwc23 * w23
 
     det_raw = cov_a_raw * cov_c_raw - cov_b * cov_b
     kernel_size = (consts.dilation_proper_antialiasing if proper_antialiasing

@@ -30,20 +30,37 @@ def _gaussian_window() -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
+@functools.lru_cache()
+def _banded_blur_matrix(n: int) -> np.ndarray:
+    """(n, n) banded matrix applying the 11-tap window with zero padding."""
+    w = _gaussian_window()
+    m = np.zeros((n, n), np.float32)
+    half = _WINDOW_SIZE // 2
+    for t in range(_WINDOW_SIZE):
+        off = t - half
+        d = np.diag(np.full(n - abs(off), w[t], np.float32), off)
+        m += d
+    return m
+
+
 def _blur(x: jnp.ndarray) -> jnp.ndarray:
-    """Separable 11x11 Gaussian blur of (C, H, W) with zero 'same' padding."""
-    c = x.shape[0]
-    w = jnp.asarray(_gaussian_window())
-    kh = jnp.tile(w.reshape(1, 1, _WINDOW_SIZE, 1), (c, 1, 1, 1))
-    kw = jnp.tile(w.reshape(1, 1, 1, _WINDOW_SIZE), (c, 1, 1, 1))
-    pad = _WINDOW_SIZE // 2
-    y = x[None]  # NCHW
-    dn = lax.conv_dimension_numbers(y.shape, kh.shape, ('NCHW', 'OIHW', 'NCHW'))
-    y = lax.conv_general_dilated(y, kh, (1, 1), [(pad, pad), (0, 0)],
-                                 dimension_numbers=dn, feature_group_count=c)
-    y = lax.conv_general_dilated(y, kw, (1, 1), [(0, 0), (pad, pad)],
-                                 dimension_numbers=dn, feature_group_count=c)
-    return y[0]
+    """Separable 11x11 Gaussian blur of (C, H, W) with zero 'same' padding.
+
+    Runs as two banded-matrix matmuls instead of depthwise convolutions:
+    an 11-tap depthwise conv maps to the TPU's vector unit, while a dense
+    (H, H)/(W, W) banded matmul rides the MXU at ~100x the FLOP rate —
+    the net is far faster despite doing n/11 times more multiplies.
+    """
+    c, h, w_ = x.shape
+    mh = jnp.asarray(_banded_blur_matrix(h))      # (H, H): out_h <- in_h
+    mw = jnp.asarray(_banded_blur_matrix(w_))     # (W, W): out_w <- in_w
+    # W axis: contract last dim with mw^T (symmetric band, mw == mw^T)
+    y = lax.dot_general(x, mw, (((2,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # (C, H, W)
+    # H axis: contract dim 1
+    y = lax.dot_general(y, mh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # (C, W, H)
+    return jnp.swapaxes(y, 1, 2)
 
 
 def ssim(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

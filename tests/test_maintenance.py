@@ -152,6 +152,22 @@ def test_adam_matches_reference_formula():
     assert int(s1.step) == 1
 
 
+def test_blur_matches_direct_convolution():
+    """The banded-matmul blur must equal the 11x11 zero-padded conv."""
+    from fastergs_tpu.ops.ssim import _blur, _gaussian_window
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (3, 37, 53)).astype(np.float32)
+    w = _gaussian_window()
+    half = len(w) // 2
+    xp = np.pad(x, ((0, 0), (half, half), (half, half)))
+    ref = np.zeros_like(x)
+    for i in range(len(w)):
+        for j in range(len(w)):
+            ref += w[i] * w[j] * xp[:, i:i + 37, j:j + 53]
+    out = np.asarray(_blur(jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
 def test_ssim_identity_and_range():
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((3, 32, 40)).astype(np.float32))
