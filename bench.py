@@ -26,7 +26,7 @@ ASSUMED_RTX_BASELINE_ITERS_PER_SEC = 90.0
 # garden @ 1/4 resolution (fastergs_garden.yaml:106-107)
 WIDTH, HEIGHT = 1297, 840
 N_GAUSSIANS = 250_000
-INSTANCE_CAP = 1_310_720  # ~1.28x the workload watermark (the trainer adapts this)
+INSTANCE_CAP = 1_150_976  # 512-aligned, ~1.13x the workload watermark (the trainer adapts this margin)
 CHUNK = 32
 TRAIN_STEPS = 30
 FPS_FRAMES = 20

@@ -49,7 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fastergs_tpu.ops.blend import BlendStatics
 
-CHUNK = 128        # instances per grid step (lanes)
+CHUNK = 128        # instances per lane scan (lanes)
+SUBS = 4           # 128-lane sub-chunks processed per grid step: amortizes
+                   # the fixed per-grid-step cost (DMA orchestration, grid
+                   # bookkeeping) 4x; the scans stay 128 wide so the MXU
+                   # cumsum cost stays linear in the stream length
+STEP = CHUNK * SUBS  # instances per grid step
 FIELD_ROWS = 16    # struct rows: 10 used + 6 pad (sublane tiling multiple)
 TILE_ROW = 9       # row index of the per-instance tile id (as f32)
 RING = 8           # forward output staging ring depth
@@ -177,8 +182,9 @@ def _extract_at_lane(x, pos):
 # --------------------------------------------------------------------- #
 
 def _fwd_kernel(packed_blk, out_hbm, stage, state, smem, sems,
-                statics: BlendStatics, n_chunks: int):
-    """One grid step = one 128-instance chunk of the tile-sorted stream.
+                statics: BlendStatics, n_steps: int):
+    """One grid step = SUBS sequential 128-instance sub-chunks of the
+    tile-sorted stream.
 
     smem: [0] tile in progress (-1 before first), [1] ring head, [2] done
     flag (all pixels of the in-progress tile below the transmittance
@@ -202,17 +208,6 @@ def _fwd_kernel(packed_blk, out_hbm, stage, state, smem, sems,
         smem[1] = 0
         smem[2] = 0
         state[:] = init_state
-
-    fields = packed_blk[:]                                     # (16, C)
-    t_ids = fields[TILE_ROW:TILE_ROW + 1].astype(jnp.int32)    # (1, C)
-    cur0 = smem[0]
-    done0 = smem[2]
-    col = _col()
-    prev_t = pltpu.roll(t_ids, 1, axis=1)
-    is0 = col == 0
-    bmask = (is0 & (t_ids != cur0)) | (~is0 & (t_ids != prev_t))
-    n_bound = jnp.sum(bmask.astype(jnp.int32))
-    heavy = (n_bound > 0) | (done0 == 0)
 
     def flush(pred, tile_idx, block, head):
         """If pred: stages `block` (P, 4) and DMAs it to out_hbm[tile_idx]."""
@@ -249,81 +244,96 @@ def _fwd_kernel(packed_blk, out_hbm, stage, state, smem, sems,
         _, head = jax.lax.while_loop(cond, body, (cur, head))
         return head
 
-    @pl.when(heavy)
-    def _():
-        coeffs, _, _ = _power_coeffs(fields, t_ids, statics)
-        power = _mm(_basis(n_pix, statics.tile_width, statics.tile_height), coeffs)  # (P, C)
-        alpha_eff = _alpha_eff_from_power(power, fields[5:6], statics)
-        one_minus = 1.0 - alpha_eff
-        seg0 = _seg_start_lane(t_ids)
-        logs = jnp.log1p(-jnp.minimum(alpha_eff, _ALPHA_LOG_MAX))
-        excl = jnp.exp(_seg_cumsum_mxu(logs, seg0, exclusive=True))
-        state_v = state[:]                                     # (P, 4)
-        trans_carry = state_v[:, 3:4]                          # (P, 1)
-        base = jnp.where(t_ids == cur0, trans_carry, 1.0)      # (P, C)
-        t_before = base * excl
-        used = t_before >= thresh
-        w = jnp.where(used, t_before * alpha_eff, 0.0)
-        wc_r = w * jnp.maximum(fields[6:7], 0.0)               # clamp fwd:415
-        wc_g = w * jnp.maximum(fields[7:8], 0.0)
-        wc_b = w * jnp.maximum(fields[8:9], 0.0)
-        t_after = t_before * one_minus
-        frozen_cand = jnp.where(t_before < thresh, t_before, -1.0)
+    for sub in range(SUBS):
+        fields = packed_blk[:, sub * CHUNK:(sub + 1) * CHUNK]  # (16, C)
+        t_ids = fields[TILE_ROW:TILE_ROW + 1].astype(jnp.int32)
+        cur0 = smem[0]
+        done0 = smem[2]
+        col = _col()
+        prev_t = pltpu.roll(t_ids, 1, axis=1)
+        is0 = col == 0
+        bmask = (is0 & (t_ids != cur0)) | (~is0 & (t_ids != prev_t))
+        n_bound = jnp.sum(bmask.astype(jnp.int32))
+        heavy = (n_bound > 0) | (done0 == 0)
 
-        def seg_acc(mask):
-            """(1, C) lane mask → (P, 3) color sums over those lanes."""
-            return jnp.concatenate([
-                jnp.sum(jnp.where(mask, wc_r, 0.0), axis=1, keepdims=True),
-                jnp.sum(jnp.where(mask, wc_g, 0.0), axis=1, keepdims=True),
-                jnp.sum(jnp.where(mask, wc_b, 0.0), axis=1, keepdims=True),
-            ], axis=1)
+        @pl.when(heavy)
+        def _(fields=fields, t_ids=t_ids, cur0=cur0, col=col, bmask=bmask,
+              n_bound=n_bound):
+            coeffs, _, _ = _power_coeffs(fields, t_ids, statics)
+            power = _mm(_basis(n_pix, statics.tile_width,
+                               statics.tile_height), coeffs)   # (P, C)
+            alpha_eff = _alpha_eff_from_power(power, fields[5:6], statics)
+            one_minus = 1.0 - alpha_eff
+            seg0 = _seg_start_lane(t_ids)
+            logs = jnp.log1p(-jnp.minimum(alpha_eff, _ALPHA_LOG_MAX))
+            excl = jnp.exp(_seg_cumsum_mxu(logs, seg0, exclusive=True))
+            state_v = state[:]                                 # (P, 4)
+            trans_carry = state_v[:, 3:4]                      # (P, 1)
+            base = jnp.where(t_ids == cur0, trans_carry, 1.0)  # (P, C)
+            t_before = base * excl
+            used = t_before >= thresh
+            w = jnp.where(used, t_before * alpha_eff, 0.0)
+            wc_r = w * jnp.maximum(fields[6:7], 0.0)           # clamp fwd:415
+            wc_g = w * jnp.maximum(fields[7:8], 0.0)
+            wc_b = w * jnp.maximum(fields[8:9], 0.0)
+            t_after = t_before * one_minus
+            frozen_cand = jnp.where(t_before < thresh, t_before, -1.0)
 
-        def seg_final_t(mask, end_pos, empty):
-            """Final transmittance of a segment ending at lane end_pos."""
-            fr = jnp.max(jnp.where(mask, frozen_cand, -1.0), axis=1,
-                         keepdims=True)                        # (P, 1)
-            t_end = _extract_at_lane(t_after, end_pos)
-            unfrozen = jnp.where(fr >= 0.0, fr, t_end)
-            return jnp.where(empty, state[:][:, 3:4], unfrozen)
+            def seg_acc(mask):
+                """(1, C) lane mask → (P, 3) color sums over those lanes."""
+                return jnp.concatenate([
+                    jnp.sum(jnp.where(mask, wc_r, 0.0), axis=1, keepdims=True),
+                    jnp.sum(jnp.where(mask, wc_g, 0.0), axis=1, keepdims=True),
+                    jnp.sum(jnp.where(mask, wc_b, 0.0), axis=1, keepdims=True),
+                ], axis=1)
 
-        # ---- serial pass over tile boundaries: finalize completed tiles ---
-        def cond(s):
-            i, *_ = s
-            return i < n_bound
+            def seg_final_t(mask, end_pos, empty):
+                """Final transmittance of a segment ending at lane end_pos."""
+                fr = jnp.max(jnp.where(mask, frozen_cand, -1.0), axis=1,
+                             keepdims=True)                    # (P, 1)
+                t_end = _extract_at_lane(t_after, end_pos)
+                unfrozen = jnp.where(fr >= 0.0, fr, t_end)
+                return jnp.where(empty, state[:][:, 3:4], unfrozen)
 
-        def body(s):
-            i, cur, seg_start, search_from, head = s
-            pos = jnp.min(jnp.where(bmask & (col >= search_from), col, CHUNK))
-            tn = jnp.max(jnp.where(col == pos, t_ids, -1))
-            seg_mask = (col >= seg_start) & (col < pos)
-            empty = pos == seg_start
+            # ---- serial pass over tile boundaries: finalize tiles ----
+            def cond(s):
+                i, *_ = s
+                return i < n_bound
 
-            # finalize tile `cur` (if one is in progress)
-            acc_fin = state[:][:, 0:3] + seg_acc(seg_mask)
-            t_fin = seg_final_t(seg_mask, pos - 1, empty)
-            block = jnp.concatenate([acc_fin, t_fin], axis=1).T  # (4, P)
-            head = flush(cur >= 0, cur, block, head)
-            head = flush_empties(cur, tn, head)
-            # reset in-progress state for the new tile
-            state[:] = init_state
-            return i + 1, tn, pos, pos + 1, head
+            def body(s):
+                i, cur, seg_start, search_from, head = s
+                pos = jnp.min(jnp.where(bmask & (col >= search_from), col,
+                                        CHUNK))
+                tn = jnp.max(jnp.where(col == pos, t_ids, -1))
+                seg_mask = (col >= seg_start) & (col < pos)
+                empty = pos == seg_start
 
-        i0 = (jnp.int32(0), cur0, jnp.int32(0), jnp.int32(0), smem[1])
-        _, cur, seg_start, _, head = jax.lax.while_loop(cond, body, i0)
+                # finalize tile `cur` (if one is in progress)
+                acc_fin = state[:][:, 0:3] + seg_acc(seg_mask)
+                t_fin = seg_final_t(seg_mask, pos - 1, empty)
+                block = jnp.concatenate([acc_fin, t_fin], axis=1).T  # (4, P)
+                head = flush(cur >= 0, cur, block, head)
+                head = flush_empties(cur, tn, head)
+                # reset in-progress state for the new tile
+                state[:] = init_state
+                return i + 1, tn, pos, pos + 1, head
 
-        # ---- fold the trailing (in-progress) segment into the carry ----
-        tail_mask = col >= seg_start
-        new_acc = state[:][:, 0:3] + seg_acc(tail_mask)
-        new_trans = seg_final_t(tail_mask, jnp.int32(CHUNK - 1),
-                                jnp.bool_(False))
-        state[:] = jnp.concatenate([new_acc, new_trans], axis=1)
-        smem[0] = cur
-        smem[1] = head
-        done = (jnp.max(new_trans) < thresh) | (cur >= n_tiles)
-        smem[2] = done.astype(jnp.int32)
+            i0 = (jnp.int32(0), cur0, jnp.int32(0), jnp.int32(0), smem[1])
+            _, cur, seg_start, _, head = jax.lax.while_loop(cond, body, i0)
 
-    # ---- last chunk: flush the in-progress tile, trailing empties, DMAs ---
-    @pl.when(k == n_chunks - 1)
+            # ---- fold the trailing (in-progress) segment into the carry --
+            tail_mask = col >= seg_start
+            new_acc = state[:][:, 0:3] + seg_acc(tail_mask)
+            new_trans = seg_final_t(tail_mask, jnp.int32(CHUNK - 1),
+                                    jnp.bool_(False))
+            state[:] = jnp.concatenate([new_acc, new_trans], axis=1)
+            smem[0] = cur
+            smem[1] = head
+            done = (jnp.max(new_trans) < thresh) | (cur >= n_tiles)
+            smem[2] = done.astype(jnp.int32)
+
+    # ---- last step: flush the in-progress tile, trailing empties, DMAs ---
+    @pl.when(k == n_steps - 1)
     def _():
         cur = smem[0]
         head = smem[1]
@@ -344,14 +354,14 @@ def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None):
     n_tiles = statics.grid_width * statics.grid_height
     n_pix = statics.tile_width * statics.tile_height
     n_inst = packed_t.shape[1]
-    assert n_inst % CHUNK == 0, 'instance capacity must be CHUNK-aligned'
-    n_chunks = n_inst // CHUNK
+    assert n_inst % STEP == 0, 'instance capacity must be STEP-aligned'
+    n_steps = n_inst // STEP
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n_chunks,),
-        in_specs=[pl.BlockSpec((FIELD_ROWS, CHUNK), lambda k: (0, k),
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec((FIELD_ROWS, STEP), lambda k: (0, k),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -362,7 +372,7 @@ def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, statics=statics, n_chunks=n_chunks),
+        functools.partial(_fwd_kernel, statics=statics, n_steps=n_steps),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 4, n_pix), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -374,7 +384,8 @@ def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None):
 # backward
 # --------------------------------------------------------------------- #
 
-def _bwd_kernel(ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
+def _bwd_kernel(ft_ref, lt_ref, packed_blk, af0, af1, af2, af3,
+                al0, al1, al2, al3, aux_hbm,
                 g_blk, state, mid, smem, mid_sems,
                 statics: BlendStatics):
     """Backward chunk step.
@@ -404,7 +415,18 @@ def _bwd_kernel(ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
         smem[1] = 0
         state[:] = jnp.zeros((n_pix, 4), jnp.float32)
 
-    fields = packed_blk[:]
+    aux_fs = (af0, af1, af2, af3)
+    aux_ls = (al0, al1, al2, al3)
+    for sub in range(SUBS):
+        _bwd_subchunk(k, sub, ft_ref, lt_ref, packed_blk, aux_fs[sub],
+                      aux_ls[sub], aux_hbm, g_blk, state, mid, smem, mid_sems,
+                      statics, n_pix, n_tiles, thresh, guard_eps)
+
+
+def _bwd_subchunk(k, sub, ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
+                  g_blk, state, mid, smem, mid_sems, statics, n_pix, n_tiles,
+                  thresh, guard_eps):
+    fields = packed_blk[:, sub * CHUNK:(sub + 1) * CHUNK]
     t_ids = fields[TILE_ROW:TILE_ROW + 1].astype(jnp.int32)
     cur0 = smem[0]
     done0 = smem[1]
@@ -417,12 +439,13 @@ def _bwd_kernel(ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
 
     @pl.when(jnp.logical_not(heavy))
     def _():
-        g_blk[:] = jnp.zeros((FIELD_ROWS, CHUNK), jnp.float32)
+        g_blk[:, sub * CHUNK:(sub + 1) * CHUNK] = jnp.zeros(
+            (FIELD_ROWS, CHUNK), jnp.float32)
 
     @pl.when(heavy)
     def _():
-        ft = ft_ref[k]
-        lt = lt_ref[k]
+        ft = ft_ref[SUBS * k + sub]
+        lt = lt_ref[SUBS * k + sub]
 
         def tile_vecs(aux_cp):
             """(8, P) aux block → (ga (P,3), r0 (P,1), common (P,1))."""
@@ -540,7 +563,7 @@ def _bwd_kernel(ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
         gcol_g = psum(w * ga_g_vec) * (craw_g >= 0.0)
         gcol_b = psum(w * ga_b_vec) * (craw_b >= 0.0)
         pad = jnp.zeros((FIELD_ROWS - 9, CHUNK), jnp.float32)
-        g_blk[:] = jnp.concatenate(
+        g_blk[:, sub * CHUNK:(sub + 1) * CHUNK] = jnp.concatenate(
             [gm_x, gm_y, gc_a, gc_b, gc_c, g_op,
              gcol_r, gcol_g, gcol_b, pad], axis=0)
 
@@ -583,27 +606,35 @@ def blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
     """Returns per-instance gradient rows (16, I) in the stream layout."""
     n_pix = statics.tile_width * statics.tile_height
     n_inst = packed_t.shape[1]
-    n_chunks = n_inst // CHUNK
+    assert n_inst % STEP == 0, 'instance capacity must be STEP-aligned'
+    n_steps = n_inst // STEP
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     aux = build_tile_aux(fin, g_fin)
-    spec_tile_f = pl.BlockSpec((1, 8, n_pix),
-                               lambda k, ft, lt: (ft[k], 0, 0),
-                               memory_space=pltpu.VMEM)
-    spec_tile_l = pl.BlockSpec((1, 8, n_pix),
-                               lambda k, ft, lt: (lt[k], 0, 0),
-                               memory_space=pltpu.VMEM)
+
+    def spec_f(sub):
+        return pl.BlockSpec((1, 8, n_pix),
+                            lambda k, ft, lt, sub=sub: (ft[SUBS * k + sub],
+                                                        0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_l(sub):
+        return pl.BlockSpec((1, 8, n_pix),
+                            lambda k, ft, lt, sub=sub: (lt[SUBS * k + sub],
+                                                        0, 0),
+                            memory_space=pltpu.VMEM)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_chunks,),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((FIELD_ROWS, CHUNK), lambda k, ft, lt: (0, k),
+            pl.BlockSpec((FIELD_ROWS, STEP), lambda k, ft, lt: (0, k),
                          memory_space=pltpu.VMEM),             # packed
-            spec_tile_f,                                       # aux @ first
-            spec_tile_l,                                       # aux @ last
+            *[spec_f(s) for s in range(SUBS)],                 # aux @ firsts
+            *[spec_l(s) for s in range(SUBS)],                 # aux @ lasts
             pl.BlockSpec(memory_space=pl.ANY),                 # aux (HBM)
         ],
-        out_specs=pl.BlockSpec((FIELD_ROWS, CHUNK), lambda k, ft, lt: (0, k),
+        out_specs=pl.BlockSpec((FIELD_ROWS, STEP), lambda k, ft, lt: (0, k),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((n_pix, 4), jnp.float32),
@@ -618,7 +649,8 @@ def blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(first_tile, last_tile, packed_t, aux, aux, aux)
+    )(first_tile, last_tile, packed_t,
+      aux, aux, aux, aux, aux, aux, aux, aux, aux)
 
 
 # --------------------------------------------------------------------- #

@@ -79,6 +79,8 @@ def render_from_primitives(
     if use_pallas:
         from fastergs_tpu.ops import blend_stream
         from fastergs_tpu.ops.tiles import build_tile_instances_compact
+        # streaming kernels process STEP instances per grid step
+        instance_cap = -(-instance_cap // blend_stream.STEP) * blend_stream.STEP
         inst = build_tile_instances_compact(
             sg_prims, gw, gh, instance_cap, consts)
         n_instances, n_expanded = inst.n_instances, inst.n_expanded_instances

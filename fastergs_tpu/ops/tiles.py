@@ -123,36 +123,47 @@ def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
     starts = (offsets - counts).astype(jnp.int32)
     has = counts > 0
 
-    # per-instance integer fields via segment fill (no gathers)
+    # per-instance integer fields via segment fill (no gathers). Small
+    # fields ride PACKED words — the delta-scatter cost scales with column
+    # count, and packing is safe because the scatter+cumsum telescopes
+    # exactly (modular i32 arithmetic): every partial sum equals a real
+    # packed row (or 0), never a torn intermediate.
     rect = prims.rect
     n = counts.shape[0]
+    x0_c = rect[:, 0]
+    w_c = jnp.maximum(rect[:, 1] - rect[:, 0], 1)
+    y0_c = rect[:, 2]
+    geom = x0_c | (w_c << 10) | (y0_c << 20)          # 10b | 10b | 10b
+    ownex = (jnp.arange(n, dtype=jnp.int32)
+             | (prims.exact.astype(jnp.int32) << 30))  # owner 30b | exact 1b
     columns = jnp.stack([
         starts,                                       # 0: segment start
-        rect[:, 0],                                   # 1: x0
-        jnp.maximum(rect[:, 1] - rect[:, 0], 1),      # 2: rect width
-        rect[:, 2],                                   # 3: y0
-        float32_ordered_bits(prims.depth),            # 4: depth sort key
-        prims.tile_mask[:, 0],                        # 5: mask lo
-        prims.tile_mask[:, 1],                        # 6: mask hi
-        prims.exact.astype(jnp.int32),                # 7: exact flag
-        jnp.arange(n, dtype=jnp.int32),               # 8: owner index
+        geom,                                         # 1: x0 | width | y0
+        float32_ordered_bits(prims.depth),            # 2: depth sort key
+        prims.tile_mask[:, 0],                        # 3: mask lo
+        prims.tile_mask[:, 1],                        # 4: mask hi
+        ownex,                                        # 5: owner | exact
     ], axis=1)
     filled = _segment_fill_int(columns, has, starts, instance_cap)
-    own = filled[:, 8]
+    own = filled[:, 5] & 0x3FFFFFFF
+    exact = filled[:, 5] >> 30
 
     slot = jnp.arange(instance_cap, dtype=jnp.int32)
     in_range = slot < total
     local = slot - filled[:, 0]
     # j-th contributing tile: select the j-th set mask bit (exact Gaussians)
     # or enumerate the rect directly (conservative fallback)
-    pos = jnp.where(filled[:, 7] > 0,
-                    _select_bit(filled[:, 5], filled[:, 6], local),
+    pos = jnp.where(exact > 0,
+                    _select_bit(filled[:, 3], filled[:, 4], local),
                     local)
-    tile_x = filled[:, 1] + pos % filled[:, 2]
-    tile_y = filled[:, 3] + pos // filled[:, 2]
+    g_x0 = filled[:, 1] & 1023
+    g_w = (filled[:, 1] >> 10) & 1023
+    g_y0 = filled[:, 1] >> 20
+    tile_x = g_x0 + pos % g_w
+    tile_y = g_y0 + pos // g_w
 
     tile_key = jnp.where(in_range, tile_y * grid_width + tile_x, n_tiles)
-    return tile_key.astype(jnp.int32), filled[:, 4], own, total
+    return tile_key.astype(jnp.int32), filled[:, 2], own, total
 
 
 def build_tile_instances(
