@@ -533,7 +533,7 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
         u_csum = _seg_cumsum_mxu(u, seg0, exclusive=False)
         r_after = r_base - u_csum
         guard = 1.0 / jnp.maximum(one_minus, guard_eps)
-        d_alpha = t_before * cg - r_after * guard + common_vec * guard
+        d_alpha = t_before * cg + (common_vec - r_after) * guard
         d_alpha = jnp.where(used & (alpha_eff > 0.0), d_alpha, 0.0)
 
         def psum(x):
