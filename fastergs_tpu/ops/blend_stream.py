@@ -534,7 +534,12 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
         r_after = r_base - u_csum
         guard = 1.0 / jnp.maximum(one_minus, guard_eps)
         d_alpha = t_before * cg + (common_vec - r_after) * guard
-        d_alpha = jnp.where(used & (alpha_eff > 0.0), d_alpha, 0.0)
+        # sentinel-tile lanes (t_ids == n_tiles) can carry REAL fields when
+        # an upstream band filter masked their tile (tile_row_band) — their
+        # gradient must not leak into this device's reduction
+        valid_lane = t_ids < n_tiles
+        d_alpha = jnp.where(valid_lane & used & (alpha_eff > 0.0),
+                            d_alpha, 0.0)
 
         def psum(x):
             return jnp.sum(x, axis=0, keepdims=True)           # (1, C)

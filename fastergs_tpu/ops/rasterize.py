@@ -54,8 +54,17 @@ def render_from_primitives(
     consts: RasterizerConstants = DEFAULT_CONSTANTS,
     exact_tile_test: bool = True,
     use_pallas: bool | None = None,
+    tile_row_band: tuple | None = None,
+    composite_background: bool = True,
 ) -> tuple[jnp.ndarray, RenderAux]:
     """Differentiable image from per-Gaussian screen-space primitives.
+
+    tile_row_band=(lo, hi): render only tiles whose row is in [lo, hi) —
+    the device-banding hook of the Gaussian-sharded multi-chip step; out-of-
+    band tiles come back as (acc=0, transmittance=1).
+    composite_background=False returns a 4-channel [rgb | transmittance]
+    image (both differentiable) and leaves compositing to the caller (used
+    by the banded step, which composites AFTER the cross-device reduction).
 
     Splitting here (rather than inside one opaque function) lets the training
     step capture the per-Gaussian mean2d cotangent for densification info —
@@ -82,7 +91,8 @@ def render_from_primitives(
         # streaming kernels process STEP instances per grid step
         instance_cap = -(-instance_cap // blend_stream.STEP) * blend_stream.STEP
         inst = build_tile_instances_compact(
-            sg_prims, gw, gh, instance_cap, consts)
+            sg_prims, gw, gh, instance_cap, consts,
+            tile_row_band=tile_row_band)
         n_instances, n_expanded = inst.n_instances, inst.n_expanded_instances
         # gather the NARROW (9-col) rows — the gather and its scatter-add
         # transpose are row-latency-bound — then append the per-instance
@@ -103,14 +113,21 @@ def render_from_primitives(
         acc, trans = blend_stream.blend_stream(packed_t, ft, lt, statics)
     else:
         inst: TileInstances = build_tile_instances(
-            sg_prims, gw, gh, instance_cap, consts, exact_tile_test)
+            sg_prims, gw, gh, instance_cap, consts, exact_tile_test,
+            tile_row_band=tile_row_band)
         n_instances, n_expanded = inst.n_instances, inst.n_expanded_instances
         packed = pack9[inst.gaussian_idx]
         acc, trans = blend_tiles(packed, inst.tile_start, inst.tile_end,
                                  statics)
 
     # background compositing (kernels_forward.cuh:460) — differentiable in bg
-    tile_pixels = acc + trans[..., None] * settings.bg_color[None, None, :]
+    if composite_background:
+        tile_pixels = acc + trans[..., None] * settings.bg_color[None, None, :]
+    else:
+        # 4-channel output [premultiplied rgb | transmittance]: keeps the
+        # transmittance on the DIFFERENTIABLE path so a caller compositing
+        # after a cross-device reduction still backpropagates through it
+        tile_pixels = jnp.concatenate([acc, trans[..., None]], axis=-1)
     image = tiles_to_image(tile_pixels, cam.width, cam.height, statics)
 
     aux = RenderAux(

@@ -166,6 +166,22 @@ def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
     return tile_key.astype(jnp.int32), filled[:, 2], own, total
 
 
+def _apply_tile_row_band(tile_key, grid_width, n_tiles, tile_row_band):
+    """Sentinels out instances whose tile row lies outside [lo, hi).
+
+    Applied BEFORE the sort, so banded streams stay tile-monotonic — the
+    device-banding hook of the Gaussian-sharded multi-chip step
+    (parallel/gaussian_parallel.py): each device blends only its band of
+    tile rows.
+    """
+    if tile_row_band is None:
+        return tile_key
+    lo, hi = tile_row_band
+    row = tile_key // grid_width
+    in_band = (row >= lo) & (row < hi)
+    return jnp.where(in_band, tile_key, n_tiles)
+
+
 def build_tile_instances(
     prims: Primitives2D,
     grid_width: int,
@@ -173,12 +189,15 @@ def build_tile_instances(
     instance_cap: int,
     consts: RasterizerConstants = DEFAULT_CONSTANTS,
     exact_tile_test: bool = True,  # kept for API compat; test runs in preprocess
+    tile_row_band=None,
 ) -> TileInstances:
     """Expands Gaussians into depth-within-tile sorted instances."""
     del exact_tile_test
     n_tiles = grid_width * grid_height
     tile_key, depth_key, own, total = _expand_instances(
         prims, grid_width, grid_height, instance_cap)
+    tile_key = _apply_tile_row_band(tile_key, grid_width, n_tiles,
+                                    tile_row_band)
 
     # single lexicographic sort replaces the reference's dual radix sort
     # (depth keys then stable tile keys, forward.cu:104-110,195-202)
@@ -227,6 +246,7 @@ def build_tile_instances_compact(
     grid_height: int,
     instance_cap: int,
     consts: RasterizerConstants = DEFAULT_CONSTANTS,
+    tile_row_band=None,
 ) -> CompactTileInstances:
     """Expansion + ONE lexicographic sort; nothing else.
 
@@ -237,6 +257,8 @@ def build_tile_instances_compact(
     n_gaussians = prims.rect.shape[0]
     tile_key, depth_key, own, total = _expand_instances(
         prims, grid_width, grid_height, instance_cap)
+    tile_key = _apply_tile_row_band(tile_key, grid_width,
+                                    grid_width * grid_height, tile_row_band)
     slot = jnp.arange(instance_cap, dtype=jnp.int32)
     own = jnp.where(slot < total, own, n_gaussians)
     sorted_tile, _, sorted_g = jax.lax.sort(

@@ -76,3 +76,59 @@ def test_dp_distinct_views_runs_and_improves():
         losses.append(float(metrics['loss']))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_gaussian_parallel_matches_single_chip():
+    """Gaussian-sharded step (params/Adam sharded by N, blend banded by tile
+    rows, psum-combined image and cotangents) must reproduce the single-chip
+    step on the same view."""
+    from fastergs_tpu.engine.train_step import train_step_impl
+    from fastergs_tpu.parallel.gaussian_parallel import (
+        make_gaussian_parallel_train_step)
+    from fastergs_tpu.parallel.gaussian_parallel import make_mesh as gp_mesh
+
+    data, model, statics, lrs = _setup()
+    mesh = gp_mesh(8)
+    state_a = jax.tree_util.tree_map(jnp.copy, model.gaussians.state)
+    state_b = jax.tree_util.tree_map(jnp.copy, model.gaussians.state)
+    assert state_a.params['means'].shape[0] % 8 == 0
+
+    view = jnp.int32(3)
+    key = jax.random.PRNGKey(0)
+    single_state, single_metrics = jax.jit(
+        train_step_impl, static_argnames=('statics',))(
+        state_a, data, view, lrs, jnp.float32(0.0), key, statics)
+
+    gp_step = make_gaussian_parallel_train_step(mesh, statics)(state_b)
+    gp_state, gp_metrics = gp_step(state_b, data, view, lrs,
+                                   jnp.float32(0.0), key)
+
+    assert abs(float(gp_metrics['loss'])
+               - float(single_metrics['loss'])) < 1e-5
+    for k in ('means', 'scales', 'opacities'):
+        np.testing.assert_allclose(np.asarray(gp_state.params[k]),
+                                   np.asarray(single_state.params[k]),
+                                   atol=2e-5, err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(gp_state.densification_info),
+        np.asarray(single_state.densification_info), atol=1e-4)
+
+
+def test_gaussian_parallel_trains():
+    from fastergs_tpu.parallel.gaussian_parallel import (
+        make_gaussian_parallel_train_step)
+    from fastergs_tpu.parallel.gaussian_parallel import make_mesh as gp_mesh
+
+    data, model, statics, lrs = _setup()
+    mesh = gp_mesh(8)
+    state = model.gaussians.state
+    gp_step = make_gaussian_parallel_train_step(mesh, statics)(state)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(10):
+        key, sub = jax.random.split(key)
+        state, metrics = gp_step(state, data, jnp.int32(i % 8), lrs,
+                                 jnp.float32(0.0), sub)
+        losses.append(float(metrics['loss']))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
