@@ -106,6 +106,7 @@ def _next_pow2(n: int) -> int:
     INSTANCE_CAP=1 << 21,
     BLEND_CHUNK=32,
     USE_PALLAS_BLEND=None,  # None = auto: Pallas kernels on real TPUs
+    PARALLEL_MODE='none',   # 'none' | 'views' | 'gaussians' (multi-chip)
     LOG_INTERVAL=100,
 )
 class FasterGSTrainer(Configurable):
@@ -291,17 +292,53 @@ class FasterGSTrainer(Configurable):
     def training_iteration(self, iteration: int, dataset) -> None:
         g = self.model.gaussians
         g.update_learning_rate(iteration + 1)
-        view_idx = self._sample_view()
         update_densify = (not self.USE_MCMC
                           and iteration < self.DENSIFICATION_END_ITERATION)
         statics = self._make_statics(update_densify)
         lrs = {k: jnp.float32(v) for k, v in g.lrs.items()}
-        g.state, metrics = train_step(
-            g.state, self.device_data, jnp.int32(view_idx), lrs,
-            jnp.float32(5e5 * g.lr_means), self._next_key(), statics)
+        noise_lr = jnp.float32(5e5 * g.lr_means)
+        mode = self.PARALLEL_MODE
+        if mode == 'views':
+            step, n_dev = self._parallel_step(statics)
+            views = jnp.asarray([self._sample_view() for _ in range(n_dev)],
+                                jnp.int32)
+            g.state, metrics = step(g.state, self.device_data, views, lrs,
+                                    noise_lr, self._next_key())
+        elif mode == 'gaussians':
+            step, _ = self._parallel_step(statics)
+            g.state, metrics = step(g.state, self.device_data,
+                                    jnp.int32(self._sample_view()), lrs,
+                                    noise_lr, self._next_key())
+        else:
+            g.state, metrics = train_step(
+                g.state, self.device_data, jnp.int32(self._sample_view()),
+                lrs, noise_lr, self._next_key(), statics)
         self._pending_metrics.append((iteration, metrics))
         if (iteration + 1) % self.LOG_INTERVAL == 0:
             self._flush_metrics()
+
+    def _parallel_step(self, statics):
+        """Builds (and caches per statics) the multi-chip step for
+        PARALLEL_MODE. One view-parallel iteration consumes D views
+        (effective batch = D, gradients psum-averaged)."""
+        import jax as _jax
+        n_dev = len(_jax.devices())
+        cache = getattr(self, '_parallel_step_cache', None)
+        if cache is None:
+            cache = self._parallel_step_cache = {}
+        key = (self.PARALLEL_MODE, statics)
+        if key not in cache:
+            if self.PARALLEL_MODE == 'views':
+                from fastergs_tpu.parallel.data_parallel import (
+                    make_mesh, make_view_parallel_train_step)
+                cache[key] = make_view_parallel_train_step(
+                    make_mesh(n_dev), statics)
+            else:
+                from fastergs_tpu.parallel.gaussian_parallel import (
+                    make_gaussian_parallel_train_step, make_mesh)
+                cache[key] = make_gaussian_parallel_train_step(
+                    make_mesh(n_dev), statics)(self.model.gaussians.state)
+        return cache[key], n_dev
 
     def _flush_metrics(self) -> None:
         if not self._pending_metrics:
@@ -440,6 +477,8 @@ class FasterGSTrainer(Configurable):
 
     def run(self, dataset, fuse: bool = True) -> None:
         """The outer driver loop (host train.py equivalent)."""
+        if self.PARALLEL_MODE != 'none':
+            fuse = False  # multi-chip steps dispatch per iteration
         self.callbacks.run_pre(dataset)
         t0 = time.perf_counter()
         iteration = self.start_iteration

@@ -180,6 +180,9 @@ def make_gaussian_parallel_train_step(mesh: Mesh, statics: TrainStepStatics):
         metrics['loss'] = loss_val
         metrics['n_visible'] = jax.lax.psum(
             jnp.sum(prims_local.visible.astype(jnp.int32)), AXIS)
+        # expansion totals are band-independent (masking happens post-count)
+        metrics['n_rect_instances'] = aux.n_rect_instances
+        metrics['n_instances'] = aux.n_instances
         new_state = ModelState(
             params=new_params, adam=new_adam, densification_info=new_info,
             filter_3d=state.filter_3d, n_active=state.n_active)

@@ -132,3 +132,37 @@ def test_gaussian_parallel_trains():
         losses.append(float(metrics['loss']))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_trainer_parallel_modes():
+    """Trainer-level integration: PARALLEL_MODE drives the multi-chip steps
+    (including maintenance resharding across densification)."""
+    from fastergs_tpu.data.synthetic import make_synthetic_dataset as mk
+    from fastergs_tpu.engine.renderer import FasterGSRenderer
+    from fastergs_tpu.engine.trainer import FasterGSTrainer
+    from fastergs_tpu.ops.ssim import psnr
+
+    dataset, _ = mk(n_gaussians=300, n_views=8, width=48, height=32,
+                    focal=40.0, seed=7, instance_cap=1 << 12)
+
+    for mode in ('views', 'gaussians'):
+        model = FasterGSModel(sh_degree=3).build()
+        renderer = FasterGSRenderer(model, {'INSTANCE_CAP': 1 << 12})
+        trainer = FasterGSTrainer(model, renderer, {
+            'PARALLEL_MODE': mode,
+            'NUM_ITERATIONS': 40,
+            'DENSIFICATION_START_ITERATION': 10,
+            'DENSIFICATION_END_ITERATION': 30,
+            'DENSIFICATION_INTERVAL': 10,
+            'OPACITY_RESET_INTERVAL': 10_000,
+            'MORTON_ORDERING_INTERVAL': 10_000,
+            'INSTANCE_CAP': 1 << 12,
+            'LOG_INTERVAL': 20,
+        })
+        trainer.run(dataset)
+        vals = [float(psnr(renderer.render_image(v, benchmark=True)['rgb'],
+                           jnp.asarray(v.rgb)))
+                for v in dataset.test_views]
+        assert np.isfinite(vals).all(), mode
+        hist = [m['loss'] for _, m in trainer.metrics_history]
+        assert hist[-1] < hist[0] * 1.5, (mode, hist)
