@@ -44,6 +44,10 @@ class RasterizerConstants:
     # raster tiling
     tile_width: int = 16
     tile_height: int = 16
+    # debug-mode input validation (the reference's CHECK_INPUT/CHECK_CUDA
+    # analog, utils/torch_utils.h:14-19 + config::debug switches): trace-time
+    # shape/dtype checks on every rasterizer entry; compiled out when False
+    debug: bool = False
 
     def __post_init__(self):
         if self.truncation_mode in (1, 2, 3) and self.original_opacity_interpretation:

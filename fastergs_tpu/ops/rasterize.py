@@ -139,6 +139,38 @@ def render_from_primitives(
     return image, aux
 
 
+def _validate_inputs(means, raw_scales, raw_rotations, raw_opacities,
+                     sh0, sh_rest, settings):
+    """Debug-mode trace-time validation (the reference's CHECK_INPUT,
+    utils/torch_utils.h:14-19 — contiguity/device checks become shape and
+    dtype checks; XLA owns layout and placement)."""
+    n = means.shape[0]
+    expect = {
+        'means': (means, (n, 3)),
+        'raw_scales': (raw_scales, (n, 3)),
+        'raw_rotations': (raw_rotations, (n, 4)),
+        'sh_coefficients_0': (sh0, (n, 1, 3)),
+    }
+    for name, (arr, shape) in expect.items():
+        if tuple(arr.shape) != shape:
+            raise ValueError(f'{name}: expected shape {shape}, '
+                             f'got {tuple(arr.shape)}')
+        if arr.dtype != jnp.float32:
+            raise ValueError(f'{name}: expected float32, got {arr.dtype}')
+    if raw_opacities.shape not in ((n,), (n, 1)):
+        raise ValueError(f'raw_opacities: expected ({n},) or ({n}, 1), '
+                         f'got {tuple(raw_opacities.shape)}')
+    if sh_rest.ndim != 3 or sh_rest.shape[0] != n or sh_rest.shape[2] != 3:
+        raise ValueError(f'sh_coefficients_rest: expected ({n}, B-1, 3), '
+                         f'got {tuple(sh_rest.shape)}')
+    n_bases = sh_rest.shape[1] + 1
+    if settings.active_sh_bases > n_bases:
+        raise ValueError(f'active_sh_bases {settings.active_sh_bases} '
+                         f'exceeds stored bases {n_bases}')
+    if settings.camera.width <= 0 or settings.camera.height <= 0:
+        raise ValueError('camera width/height must be set (static fields)')
+
+
 def diff_rasterize(
     means: jnp.ndarray,
     raw_scales: jnp.ndarray,
@@ -157,6 +189,9 @@ def diff_rasterize(
 ) -> tuple[jnp.ndarray, RenderAux]:
     """Differentiable render (reference: diff_rasterize,
     torch_bindings/rasterization.py:113-132). Returns (CHW image, aux)."""
+    if consts.debug:
+        _validate_inputs(means, raw_scales, raw_rotations, raw_opacities,
+                         sh_coefficients_0, sh_coefficients_rest, settings)
     prims = preprocess(
         means, raw_scales, raw_rotations, raw_opacities,
         sh_coefficients_0, sh_coefficients_rest, settings.camera,

@@ -147,3 +147,33 @@ def test_active_mask_excludes_padding():
                                instance_cap=1 << 13)
     np.testing.assert_allclose(np.asarray(masked), np.asarray(full),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_debug_input_validation():
+    """consts.debug enables the reference's CHECK_INPUT analog."""
+    import dataclasses
+    import pytest
+    from fastergs_tpu.constants import DEFAULT_CONSTANTS
+    from tests.helpers import make_camera, make_scene, make_settings
+
+    cam = make_camera(width=32, height=32)
+    scene = list(make_scene(n=8, seed=0))
+    dbg = dataclasses.replace(DEFAULT_CONSTANTS, debug=True)
+    settings = make_settings(cam)
+    # valid inputs pass
+    diff_rasterize(*scene, settings, instance_cap=512, consts=dbg)
+    # wrong rotation shape rejected
+    bad = list(scene)
+    bad[2] = bad[2][:, :3]
+    with pytest.raises(ValueError, match='raw_rotations'):
+        diff_rasterize(*bad, settings, instance_cap=512, consts=dbg)
+    # wrong dtype rejected
+    bad = list(scene)
+    bad[0] = bad[0].astype(jnp.bfloat16)
+    with pytest.raises(ValueError, match='float32'):
+        diff_rasterize(*bad, settings, instance_cap=512, consts=dbg)
+    # over-requesting SH bases rejected
+    import dataclasses as dc
+    s2 = dc.replace(settings, active_sh_bases=25)
+    with pytest.raises(ValueError, match='active_sh_bases'):
+        diff_rasterize(*scene, s2, instance_cap=512, consts=dbg)
