@@ -61,6 +61,10 @@ class BlendStatics(NamedTuple):
     one_minus_alpha_eps: float
     tile_width: int
     tile_height: int
+    # training blends clamp colors at >= 0 (kernels_forward.cuh:415); the
+    # pruning-score pipeline blends RAW colors (kernels_pruning_scores.cuh:
+    # 386,447)
+    clamp_colors: bool = True
 
     @classmethod
     def create(cls, grid_width: int, grid_height: int, chunk: int = 32,

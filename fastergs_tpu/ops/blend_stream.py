@@ -273,9 +273,14 @@ def _fwd_kernel(packed_blk, out_hbm, stage, state, smem, sems,
             t_before = base * excl
             used = t_before >= thresh
             w = jnp.where(used, t_before * alpha_eff, 0.0)
-            wc_r = w * jnp.maximum(fields[6:7], 0.0)           # clamp fwd:415
-            wc_g = w * jnp.maximum(fields[7:8], 0.0)
-            wc_b = w * jnp.maximum(fields[8:9], 0.0)
+            if statics.clamp_colors:                           # clamp fwd:415
+                wc_r = w * jnp.maximum(fields[6:7], 0.0)
+                wc_g = w * jnp.maximum(fields[7:8], 0.0)
+                wc_b = w * jnp.maximum(fields[8:9], 0.0)
+            else:                                              # pruning: raw
+                wc_r = w * fields[6:7]
+                wc_g = w * fields[7:8]
+                wc_b = w * fields[8:9]
             t_after = t_before * one_minus
             frozen_cand = jnp.where(t_before < thresh, t_before, -1.0)
 
@@ -387,7 +392,7 @@ def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None):
 def _bwd_kernel(ft_ref, lt_ref, packed_blk, af0, af1, af2, af3,
                 al0, al1, al2, al3, aux_hbm,
                 g_blk, state, mid, smem, mid_sems,
-                statics: BlendStatics):
+                statics: BlendStatics, score_cfg=None):
     """Backward chunk step.
 
     Per-tile quantities arrive through ONE XLA-built aux table (T, 8, P):
@@ -420,12 +425,51 @@ def _bwd_kernel(ft_ref, lt_ref, packed_blk, af0, af1, af2, af3,
     for sub in range(SUBS):
         _bwd_subchunk(k, sub, ft_ref, lt_ref, packed_blk, aux_fs[sub],
                       aux_ls[sub], aux_hbm, g_blk, state, mid, smem, mid_sems,
-                      statics, n_pix, n_tiles, thresh, guard_eps)
+                      statics, n_pix, n_tiles, thresh, guard_eps, score_cfg)
+
+
+def _bwd_grad_rows(g_blk, sub, fields, basis, mxl, myl, alpha_eff, d_alpha,
+                   op, w, ga_r_vec, ga_g_vec, ga_b_vec,
+                   craw_r, craw_g, craw_b, psum):
+    """Writes the nine per-instance gradient rows for one sub-chunk.
+
+    Helper-field moments against the tile-local basis: all five second-
+    moment reductions (dL/d{conic, mean2d}) in ONE matmul (the per-pixel
+    dx/dy tensors never materialize)."""
+    helper = -alpha_eff * d_alpha
+    mom = jax.lax.dot_general(basis, helper,
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    m_lx2, m_lx = mom[0:1], mom[1:2]                       # Σh·lx², Σh·lx
+    m_ly2, m_ly = mom[2:3], mom[3:4]
+    m_lxy, m0 = mom[4:5], mom[5:6]
+    hdx = mxl * m0 - m_lx                                  # Σ h·dx
+    hdy = myl * m0 - m_ly
+    gc_a = 0.5 * (mxl * mxl * m0 - 2.0 * mxl * m_lx + m_lx2)
+    gc_b = mxl * myl * m0 - mxl * m_ly - myl * m_lx + m_lxy
+    gc_c = 0.5 * (myl * myl * m0 - 2.0 * myl * m_ly + m_ly2)
+    ca, cb, cc = fields[2:3], fields[3:4], fields[4:5]
+    gm_x = ca * hdx + cb * hdy
+    gm_y = cb * hdx + cc * hdy
+    # Σ gauss·dα == -Σ h / opacity (h vanishes wherever alpha_eff does)
+    g_op = -m0 / jnp.maximum(op, 1e-20)
+    gcol_r = psum(w * ga_r_vec) * (craw_r >= 0.0)
+    gcol_g = psum(w * ga_g_vec) * (craw_g >= 0.0)
+    gcol_b = psum(w * ga_b_vec) * (craw_b >= 0.0)
+    pad = jnp.zeros((FIELD_ROWS - 9, CHUNK), jnp.float32)
+    g_blk[:, sub * CHUNK:(sub + 1) * CHUNK] = jnp.concatenate(
+        [gm_x, gm_y, gc_a, gc_b, gc_c, g_op,
+         gcol_r, gcol_g, gcol_b, pad], axis=0)
 
 
 def _bwd_subchunk(k, sub, ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
                   g_blk, state, mid, smem, mid_sems, statics, n_pix, n_tiles,
-                  thresh, guard_eps):
+                  thresh, guard_eps, score_cfg=None):
+    """score_cfg=(width, height): Speedy-Splat scoring mode — the per-tile
+    color cotangent is identically (1,1,1) (so cg is the per-instance RAW
+    color sum), and the output row is op^2 * sum_pixels(d_alpha^2) over
+    real image pixels (kernels_pruning_scores.cuh:349-473) instead of the
+    nine gradient rows."""
     fields = packed_blk[:, sub * CHUNK:(sub + 1) * CHUNK]
     t_ids = fields[TILE_ROW:TILE_ROW + 1].astype(jnp.int32)
     cur0 = smem[0]
@@ -525,9 +569,12 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
         w = jnp.where(used, t_before * alpha_eff, 0.0)
 
         craw_r, craw_g, craw_b = fields[6:7], fields[7:8], fields[8:9]
-        cl_r = jnp.maximum(craw_r, 0.0)
-        cl_g = jnp.maximum(craw_g, 0.0)
-        cl_b = jnp.maximum(craw_b, 0.0)
+        if statics.clamp_colors:
+            cl_r = jnp.maximum(craw_r, 0.0)
+            cl_g = jnp.maximum(craw_g, 0.0)
+            cl_b = jnp.maximum(craw_b, 0.0)
+        else:                                  # pruning scores: raw colors
+            cl_r, cl_g, cl_b = craw_r, craw_g, craw_b
         cg = cl_r * ga_r_vec + cl_g * ga_g_vec + cl_b * ga_b_vec
         u = w * cg
         u_csum = _seg_cumsum_mxu(u, seg0, exclusive=False)
@@ -544,33 +591,29 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
         def psum(x):
             return jnp.sum(x, axis=0, keepdims=True)           # (1, C)
 
-        # helper-field moments against the tile-local basis: all five
-        # second-moment reductions (dL/d{conic, mean2d}) in ONE matmul
-        # (the per-pixel dx/dy tensors never materialize)
-        helper = -alpha_eff * d_alpha
-        mom = jax.lax.dot_general(basis, helper,
-                                  (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        m_lx2, m_lx = mom[0:1], mom[1:2]                       # Σh·lx², Σh·lx
-        m_ly2, m_ly = mom[2:3], mom[3:4]
-        m_lxy, m0 = mom[4:5], mom[5:6]
-        hdx = mxl * m0 - m_lx                                  # Σ h·dx
-        hdy = myl * m0 - m_ly
-        gc_a = 0.5 * (mxl * mxl * m0 - 2.0 * mxl * m_lx + m_lx2)
-        gc_b = mxl * myl * m0 - mxl * m_ly - myl * m_lx + m_lxy
-        gc_c = 0.5 * (myl * myl * m0 - 2.0 * myl * m_ly + m_ly2)
-        ca, cb, cc = fields[2:3], fields[3:4], fields[4:5]
-        gm_x = ca * hdx + cb * hdy
-        gm_y = cb * hdx + cc * hdy
-        # Σ gauss·dα == -Σ h / opacity (h vanishes wherever alpha_eff does)
-        g_op = -m0 / jnp.maximum(op, 1e-20)
-        gcol_r = psum(w * ga_r_vec) * (craw_r >= 0.0)
-        gcol_g = psum(w * ga_g_vec) * (craw_g >= 0.0)
-        gcol_b = psum(w * ga_b_vec) * (craw_b >= 0.0)
-        pad = jnp.zeros((FIELD_ROWS - 9, CHUNK), jnp.float32)
-        g_blk[:, sub * CHUNK:(sub + 1) * CHUNK] = jnp.concatenate(
-            [gm_x, gm_y, gc_a, gc_b, gc_c, g_op,
-             gcol_r, gcol_g, gcol_b, pad], axis=0)
+        if score_cfg is not None:
+            # Speedy-Splat scoring: out row 0 = op^2 * sum_p d_alpha^2 over
+            # real image pixels (kernels_pruning_scores.cuh:444-458); rows
+            # 1.. stay zero. The per-pixel blend state still advances below.
+            width, height = score_cfg
+            tw, th = statics.tile_width, statics.tile_height
+            tx = (t_ids % statics.grid_width).astype(jnp.float32)
+            ty = (t_ids // statics.grid_width).astype(jnp.float32)
+            pix = jax.lax.broadcasted_iota(jnp.int32, (n_pix, 1), 0)
+            lx = (pix % tw).astype(jnp.float32)
+            ly = (pix // tw).astype(jnp.float32)
+            inside = ((tx * tw + lx < float(width))
+                      & (ty * th + ly < float(height)))        # (P, C)
+            da = jnp.where(inside, d_alpha, 0.0)
+            score = op * op * psum(da * da)
+            g_blk[0:1, sub * CHUNK:(sub + 1) * CHUNK] = score
+            g_blk[1:, sub * CHUNK:(sub + 1) * CHUNK] = jnp.zeros(
+                (FIELD_ROWS - 1, CHUNK), jnp.float32)
+        else:
+            _bwd_grad_rows(g_blk, sub, fields, basis, mxl, myl,
+                           alpha_eff, d_alpha, op, w,
+                           ga_r_vec, ga_g_vec, ga_b_vec,
+                           craw_r, craw_g, craw_b, psum)
 
         # ---- carry update for the trailing segment ----
         ls = jnp.max(jnp.where(bmask, col, 0))                 # last seg start
@@ -607,8 +650,10 @@ def build_tile_aux(fin, g_fin):
 
 
 def blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
-                          statics: BlendStatics, interpret=None):
-    """Returns per-instance gradient rows (16, I) in the stream layout."""
+                          statics: BlendStatics, interpret=None,
+                          score_cfg=None):
+    """Returns per-instance gradient rows (16, I) in the stream layout
+    (score_cfg=(width, height): row 0 = Speedy-Splat scores instead)."""
     n_pix = statics.tile_width * statics.tile_height
     n_inst = packed_t.shape[1]
     assert n_inst % STEP == 0, 'instance capacity must be STEP-aligned'
@@ -649,13 +694,38 @@ def blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, statics=statics),
+        functools.partial(_bwd_kernel, statics=statics, score_cfg=score_cfg),
         out_shape=jax.ShapeDtypeStruct((FIELD_ROWS, n_inst), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(first_tile, last_tile, packed_t,
       aux, aux, aux, aux, aux, aux, aux, aux, aux)
+
+
+def blend_stream_pruning_scores(packed_t, first_tile, last_tile,
+                                statics: BlendStatics, bg_sum,
+                                width: int, height: int, interpret=None):
+    """Per-instance Speedy-Splat pruning scores (I,) via the stream kernels.
+
+    Pass 1: forward blend with RAW (unclamped) colors. Pass 2: the backward
+    sweep in score mode with the crafted cotangent g_fin = [1, 1, 1, Σbg]
+    — build_tile_aux then yields exactly the reference's initialization
+    (r0 = Σ_ch color_after, common = -T_final·Σbg,
+    kernels_pruning_scores.cuh:407-418) and each instance's output row is
+    opacity² · Σ_pixels dL/dα² over real image pixels.
+    """
+    s2 = statics._replace(clamp_colors=False)
+    fin = blend_stream_forward(packed_t, s2, interpret=interpret)
+    n_tiles, _, n_pix = fin.shape
+    g_fin = jnp.concatenate([
+        jnp.ones((n_tiles, 3, n_pix), jnp.float32),
+        jnp.broadcast_to(jnp.asarray(bg_sum, jnp.float32),
+                         (n_tiles, 1, n_pix))], axis=1)
+    rows = blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
+                                 s2, interpret=interpret,
+                                 score_cfg=(width, height))
+    return rows[0]
 
 
 # --------------------------------------------------------------------- #

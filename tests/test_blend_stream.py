@@ -102,3 +102,24 @@ def test_stream_tiny_cap_exact_chunks():
     n = int(aux.n_instances)
     cap = max(128, ((n + 127) // 128) * 128)
     _compare(scene, cam, cap=cap)
+
+
+def test_stream_pruning_scores_match_xla_sweep():
+    """The streaming Speedy-Splat score kernel must reproduce the XLA
+    two-pass sweep (same preprocess, binning, and score math)."""
+    from fastergs_tpu.ops.pruning import update_pruning_scores
+
+    cam = make_camera(width=48, height=33)  # partial tiles: inside-mask path
+    scene = make_scene(n=120, seed=17)
+    settings = make_settings(cam, bg=(0.2, 0.3, 0.4))
+    n = scene[0].shape[0]
+    z = jnp.zeros((n,), jnp.float32)
+    s_xla = update_pruning_scores(z, *scene, settings, instance_cap=1 << 11,
+                                  use_pallas=False)
+    s_str = update_pruning_scores(z, *scene, settings, instance_cap=1 << 11,
+                                  use_pallas=True)
+    scale = max(float(jnp.max(s_xla)), 1e-9)
+    np.testing.assert_allclose(np.asarray(s_str) / scale,
+                               np.asarray(s_xla) / scale,
+                               atol=5e-5)
+    assert float(jnp.max(s_xla)) > 0.0
