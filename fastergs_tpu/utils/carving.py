@@ -25,26 +25,35 @@ def _dilate3x3(alpha: np.ndarray) -> np.ndarray:
 
 def carve(points: np.ndarray, views, in_all_frustums: bool,
           enforce_alpha: bool) -> np.ndarray:
-    """Reference semantics (utils.py:36-52)."""
-    log_info(f'removing points that would not be visible in any training view '
-             f'(in_all_frustums={in_all_frustums}, enforce_alpha={enforce_alpha})')
+    """Keep only random-init points that some (or every) training view can
+    see; optionally also require a non-transparent landing pixel.
+
+    Semantics match the reference's carve (reference: utils.py:36-52):
+    a point survives iff it is inside at least one view frustum, inside
+    every frustum when ``in_all_frustums`` is set, and — when
+    ``enforce_alpha`` is set — lands on a (3x3-dilated) nonzero-alpha pixel
+    in every view whose frustum contains it.
+    """
+    log_info(f'carving random-init points against {len(views)} training '
+             f'frustums (require_all={in_all_frustums}, '
+             f'alpha_check={enforce_alpha})')
     n = points.shape[0]
-    in_frustum_any = np.zeros(n, bool)
-    in_frustum_all = np.ones(n, bool)
-    in_alpha_all = np.ones(n, bool)
+    seen_by_some = np.zeros(n, bool)
+    seen_by_every = np.ones(n, bool)
+    alpha_ok = np.ones(n, bool)
     pts = jnp.asarray(points)
     for view in views:
-        xy, _, in_frustum = view.project_points(pts)
+        xy, _, visible = view.project_points(pts)
         xy = np.asarray(xy)
-        in_frustum = np.asarray(in_frustum)
-        in_frustum_any |= in_frustum
+        visible = np.asarray(visible)
+        seen_by_some |= visible
         if in_all_frustums:
-            in_frustum_all &= in_frustum
-        if enforce_alpha and in_frustum.any() and view.alpha is not None:
-            alpha = _dilate3x3(np.asarray(view.alpha)[0] > 0)
-            xyi = np.floor(xy[in_frustum]).astype(np.int64)
-            xyi[:, 0] = np.clip(xyi[:, 0], 0, alpha.shape[1] - 1)
-            xyi[:, 1] = np.clip(xyi[:, 1], 0, alpha.shape[0] - 1)
-            in_alpha_all[in_frustum] &= alpha[xyi[:, 1], xyi[:, 0]]
-    valid = in_frustum_any & in_alpha_all & in_frustum_all
-    return np.ascontiguousarray(points[valid])
+            seen_by_every &= visible
+        if enforce_alpha and visible.any() and view.alpha is not None:
+            mask = _dilate3x3(np.asarray(view.alpha)[0] > 0)
+            cols_rows = np.floor(xy[visible]).astype(np.int64)
+            cols = np.clip(cols_rows[:, 0], 0, mask.shape[1] - 1)
+            rows = np.clip(cols_rows[:, 1], 0, mask.shape[0] - 1)
+            alpha_ok[visible] &= mask[rows, cols]
+    keep = seen_by_some & alpha_ok & seen_by_every
+    return np.ascontiguousarray(points[keep])
