@@ -26,7 +26,9 @@ ASSUMED_RTX_BASELINE_ITERS_PER_SEC = 90.0
 # garden @ 1/4 resolution (fastergs_garden.yaml:106-107)
 WIDTH, HEIGHT = 1297, 840
 N_GAUSSIANS = 250_000
-INSTANCE_CAP = 1_150_976  # 512-aligned, ~1.13x the workload watermark (the trainer adapts this margin)
+INSTANCE_CAP = 1 << 20  # power of two (fast wide-sort compile); ≥ the
+                        # workload's 1,023,993-instance demand — the trainer
+                        # grows caps in power-of-two steps the same way
 CHUNK = 32
 TRAIN_STEPS = 30
 FPS_FRAMES = 20
@@ -130,10 +132,14 @@ def bench_render_fps(model):
 
 
 def main():
+    from fastergs_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
     dataset, data, model = build_workload()
     # train on the full ground-truth-sized model for a garden-scale workload
     its, metrics = bench_training(data, model)
     fps = bench_render_fps(model)
+    from fastergs_tpu.utils.memory import device_memory_stats
+    hbm = device_memory_stats()
     result = {
         'metric': 'train_iters_per_sec_garden_scale',
         'value': round(its, 2),
@@ -146,6 +152,10 @@ def main():
         'loss': float(metrics['loss']),
         'device': str(jax.devices()[0]),
     }
+    if 'peak_bytes_in_use' in hbm:  # BASELINE config #4: HBM footprint
+        result['hbm_peak_gib'] = round(hbm['peak_bytes_in_use'] / (1 << 30), 3)
+    if 'bytes_in_use' in hbm:
+        result['hbm_in_use_gib'] = round(hbm['bytes_in_use'] / (1 << 30), 3)
     print(json.dumps(result))
 
 

@@ -87,25 +87,24 @@ def render_from_primitives(
                               prims.color)
     if use_pallas:
         from fastergs_tpu.ops import blend_stream
-        from fastergs_tpu.ops.tiles import build_tile_instances_compact
+        from fastergs_tpu.ops.tiles import (
+            attach_stream_grad, build_tile_instances_stream)
         # streaming kernels process STEP instances per grid step
         instance_cap = -(-instance_cap // blend_stream.STEP) * blend_stream.STEP
-        inst = build_tile_instances_compact(
-            sg_prims, gw, gh, instance_cap, consts,
-            tile_row_band=tile_row_band)
+        # the 9 field columns ride the expansion + sort as payload (nearly
+        # free) instead of a post-sort row gather (~12 ns/row latency-bound);
+        # attach_stream_grad restores the pack9 gradient via the
+        # deterministic per-Gaussian reduction
+        inst, rows9_t = build_tile_instances_stream(
+            sg_prims, jax.lax.stop_gradient(pack9), gw, gh, instance_cap,
+            consts, tile_row_band=tile_row_band)
         n_instances, n_expanded = inst.n_instances, inst.n_expanded_instances
-        # gather the NARROW (9-col) rows — the gather and its scatter-add
-        # transpose are row-latency-bound — then append the per-instance
-        # tile-id row and pad to 16 fields for the kernel's sublane tiling
-        # (the pad/tile rows' backward is a free slice)
-        pack_s = jnp.concatenate(
-            [pack9, jnp.zeros((1, pack9.shape[1]), pack9.dtype)], axis=0)
-        rows9 = pack_s[inst.gaussian_idx]                    # (I, 9)
-        cap = rows9.shape[0]
+        rows9_t = attach_stream_grad(pack9, rows9_t, inst.gaussian_idx)
+        cap = rows9_t.shape[1]
         packed_t = jnp.concatenate(
-            [rows9, inst.tile_idx.astype(jnp.float32)[:, None],
-             jnp.zeros((cap, blend_stream.FIELD_ROWS - 10), jnp.float32)],
-            axis=1).T                                        # (16, I)
+            [rows9_t, inst.tile_idx.astype(jnp.float32)[None, :],
+             jnp.zeros((blend_stream.FIELD_ROWS - 10, cap), jnp.float32)],
+            axis=0)                                          # (16, I)
         # per-chunk first/last tile ids drive the backward's block pipeline
         c = blend_stream.CHUNK
         ft = jnp.minimum(inst.tile_idx[::c], gw * gh - 1)

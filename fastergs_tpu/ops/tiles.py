@@ -107,13 +107,18 @@ def _select_bit(mask_lo: jnp.ndarray, mask_hi: jnp.ndarray,
 
 
 def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
-                      instance_cap: int):
+                      instance_cap: int, extra_cols: jnp.ndarray | None = None):
     """Expands Gaussians into unsorted (tile_key, depth_key, owner) slots.
 
-    Returns (tile_key, depth_key, own, total) of length instance_cap;
+    Returns (tile_key, depth_key, own, total, extra) of length instance_cap;
     out-of-range slots carry tile_key == n_tiles (sentinel). The slot→owner
     map rides the SAME delta-scatter + cumsum as the other integer columns
     (one scatter total — XLA scatters carry a large fixed cost on TPU).
+
+    extra_cols: optional (N, K) i32 per-Gaussian payload broadcast to the
+    slots through the same exact telescoping fill (cumsum of modular deltas
+    reproduces any bitpattern exactly, so f32 fields can ride bitcast);
+    `extra` is the (cap, K) filled payload (None if extra_cols is None).
     """
     n_tiles = grid_width * grid_height
     counts = prims.n_touched  # (N,) exact (or conservative) counts, 0 if culled
@@ -144,7 +149,10 @@ def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
         prims.tile_mask[:, 1],                        # 4: mask hi
         ownex,                                        # 5: owner | exact
     ], axis=1)
+    if extra_cols is not None:
+        columns = jnp.concatenate([columns, extra_cols], axis=1)
     filled = _segment_fill_int(columns, has, starts, instance_cap)
+    extra = filled[:, 6:] if extra_cols is not None else None
     own = filled[:, 5] & 0x3FFFFFFF
     exact = filled[:, 5] >> 30
 
@@ -163,7 +171,7 @@ def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
     tile_y = g_y0 + pos // g_w
 
     tile_key = jnp.where(in_range, tile_y * grid_width + tile_x, n_tiles)
-    return tile_key.astype(jnp.int32), filled[:, 2], own, total
+    return tile_key.astype(jnp.int32), filled[:, 2], own, total, extra
 
 
 def _apply_tile_row_band(tile_key, grid_width, n_tiles, tile_row_band):
@@ -194,7 +202,7 @@ def build_tile_instances(
     """Expands Gaussians into depth-within-tile sorted instances."""
     del exact_tile_test
     n_tiles = grid_width * grid_height
-    tile_key, depth_key, own, total = _expand_instances(
+    tile_key, depth_key, own, total, _ = _expand_instances(
         prims, grid_width, grid_height, instance_cap)
     tile_key = _apply_tile_row_band(tile_key, grid_width, n_tiles,
                                     tile_row_band)
@@ -255,7 +263,7 @@ def build_tile_instances_compact(
     owner == n_gaussians) sort to the end of the stream.
     """
     n_gaussians = prims.rect.shape[0]
-    tile_key, depth_key, own, total = _expand_instances(
+    tile_key, depth_key, own, total, _ = _expand_instances(
         prims, grid_width, grid_height, instance_cap)
     tile_key = _apply_tile_row_band(tile_key, grid_width,
                                     grid_width * grid_height, tile_row_band)
@@ -269,6 +277,106 @@ def build_tile_instances_compact(
         n_instances=jnp.minimum(total, instance_cap).astype(jnp.int32),
         n_expanded_instances=total.astype(jnp.int32),
     )
+
+
+def build_tile_instances_stream(
+    prims: Primitives2D,
+    pack9_sg: jnp.ndarray,
+    grid_width: int,
+    grid_height: int,
+    instance_cap: int,
+    consts: RasterizerConstants = DEFAULT_CONSTANTS,
+    tile_row_band=None,
+) -> tuple[CompactTileInstances, jnp.ndarray]:
+    """Compact binning that carries the 9 blend-field columns through the
+    expansion and the sort, so no post-sort row gather is needed.
+
+    The reference gathers per-instance fields after its tile sort
+    (forward.cu:195-202 feeds blend_cu via the sorted index list); on TPU
+    a row gather costs ~12 ns/row (latency-bound) while sort payload is
+    bandwidth-bound and nearly free (measured: 3→12 sort operands adds
+    ~0.2 ms at 1.15M instances vs 17 ms for the gather). The fields ride
+    the exact telescoping delta-scatter/cumsum as bitcast i32 (modular
+    partial sums reproduce every bitpattern exactly) and the lexicographic
+    sort as non-key operands.
+
+    pack9_sg must be gradient-free (stop_gradient); differentiability is
+    restored by `attach_stream_grad`, whose VJP performs the deterministic
+    per-Gaussian reduction (the analog of kernels_backward.cuh:459-470).
+
+    Returns (CompactTileInstances, rows9_t): rows9_t is (9, I) f32, equal to
+    pack9_sg[gaussian_idx].T with zeros at sentinel slots.
+    """
+    n_gaussians = prims.rect.shape[0]
+    fields_i32 = jax.lax.bitcast_convert_type(pack9_sg, jnp.int32)
+    tile_key, depth_key, own, total, extra = _expand_instances(
+        prims, grid_width, grid_height, instance_cap, extra_cols=fields_i32)
+    n_tiles = grid_width * grid_height
+    tile_key = _apply_tile_row_band(tile_key, grid_width, n_tiles,
+                                    tile_row_band)
+    slot = jnp.arange(instance_cap, dtype=jnp.int32)
+    live = (slot < total) & (tile_key < n_tiles)
+    own = jnp.where(live, own, n_gaussians)
+    # sentinel slots must blend to nothing: zero fields (alpha == 0, inert)
+    extra = jnp.where(live[:, None], extra, 0)
+
+    # XLA's TPU variadic sort compiles in seconds at power-of-two lengths
+    # but takes MINUTES for many-operand sorts at other lengths (measured:
+    # 12 operands at 1,150,976 → 92 s vs 11 s at 2^21). Pad the sort with
+    # max-key sentinels and slice back; real instances (≤ cap) are
+    # unaffected since sentinels sort to the tail.
+    sort_len = 1 << (instance_cap - 1).bit_length()
+    pad = sort_len - instance_cap
+    ops_in = [tile_key, depth_key, own] + [extra[:, c] for c in range(9)]
+    if pad:
+        pad_vals = [n_tiles, 0, n_gaussians] + [0] * 9
+        ops_in = [jnp.concatenate(
+            [o, jnp.full((pad,), v, jnp.int32)]) for o, v in
+            zip(ops_in, pad_vals)]
+    ops = jax.lax.sort(tuple(ops_in), num_keys=2, is_stable=False)
+    if pad:
+        ops = tuple(o[:instance_cap] for o in ops)
+    sorted_tile, _, sorted_g = ops[0], ops[1], ops[2]
+    rows9_t = jax.lax.bitcast_convert_type(jnp.stack(ops[3:], axis=0),
+                                           jnp.float32)
+    inst = CompactTileInstances(
+        gaussian_idx=sorted_g,
+        tile_idx=sorted_tile,
+        n_instances=jnp.minimum(total, instance_cap).astype(jnp.int32),
+        n_expanded_instances=total.astype(jnp.int32),
+    )
+    return inst, rows9_t
+
+
+@jax.custom_vjp
+def attach_stream_grad(pack9: jnp.ndarray, rows9_t: jnp.ndarray,
+                       gaussian_idx: jnp.ndarray) -> jnp.ndarray:
+    """Passthrough of rows9_t (== pack9[gaussian_idx].T, sentinel-zeroed)
+    that restores differentiability w.r.t. pack9: the VJP reduces the
+    per-instance field cotangents to per-Gaussian sums (the deterministic
+    segment reduction replacing the reference's atomic accumulation,
+    kernels_backward.cuh:459-470)."""
+    del pack9, gaussian_idx
+    return rows9_t
+
+
+def _attach_stream_grad_fwd(pack9, rows9_t, gaussian_idx):
+    return rows9_t, (pack9.shape[0], gaussian_idx)
+
+
+def _attach_stream_grad_bwd(res, d_rows):
+    import numpy as np
+    n, gidx = res
+    # deterministic per-Gaussian reduction: owner-sort (bandwidth-bound
+    # payload) + Pallas window segment-sum — ~2-3x faster than the XLA
+    # scatter-add lowering (sort + serialized per-row updates)
+    from fastergs_tpu.ops.segreduce import reduce_by_gaussian
+    d_pack9 = reduce_by_gaussian(d_rows, gidx, n, n_data_rows=9).T
+    return (d_pack9, jnp.zeros_like(d_rows),
+            np.zeros(gidx.shape, jax.dtypes.float0))
+
+
+attach_stream_grad.defvjp(_attach_stream_grad_fwd, _attach_stream_grad_bwd)
 
 
 class PaddedTileInstances(NamedTuple):
@@ -307,7 +415,7 @@ def build_tile_instances_padded(
     """
     n_tiles = grid_width * grid_height
     n_gaussians = prims.rect.shape[0]
-    tile_key, depth_key, own, total = _expand_instances(
+    tile_key, depth_key, own, total, _ = _expand_instances(
         prims, grid_width, grid_height, instance_cap)
     # sentinel owner outside the valid range → gathers hit the zero row and
     # the backward's unwritten slots reduce into a discarded sentinel slot

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 WIDTH, HEIGHT = 1297, 840
 N_GAUSSIANS = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
-INSTANCE_CAP = 1_150_976  # 512-aligned, ~1.13x watermark
+INSTANCE_CAP = 1 << 20  # power of two: fast wide-sort compile
 REPS = 10
 
 
