@@ -1,0 +1,177 @@
+"""Per-Gaussian gradient reduction: (16, I) instance rows -> (16, N) sums.
+
+The deterministic TPU analog of the reference's atomicAdd gradient
+accumulation (reference: kernels_backward.cuh:459-470). XLA lowers
+`.at[idx].add` to a row-latency-bound scatter (~12 ns/row, ~20 ms at
+garden scale); instead we sort the rows by owner id (wide TPU sorts are
+bandwidth-bound and nearly free at power-of-two lengths — see
+ops/tiles.py:build_tile_instances_stream) and run a sequential Pallas
+window kernel that turns the sorted runs into per-owner sums with one-hot
+MXU matmuls: owners fall into fixed 512-wide windows; each grid step
+accumulates its instances into the current window accumulator in VMEM and
+flushes finalized windows to HBM with lane-aligned DMAs. Pure bandwidth +
+trivial MXU work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+STEP = 512     # instances per grid step
+W = 512        # owner-window width (lane-aligned flush DMAs)
+ROWS = 16      # field rows (sublane tiling multiple; rows 0-8 carry data)
+
+
+def _iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _to_sub(v_lane):
+    """(1, S) lane vector -> (S, 1) sublane vector via an identity matmul."""
+    n = v_lane.shape[1]
+    ident = (_iota2((n, n), 0) == _iota2((n, n), 1)).astype(jnp.float32)
+    return jax.lax.dot_general(ident, v_lane.astype(jnp.float32),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _reduce_kernel(own_blk, rows_blk, zeros_ref, out_hbm, acc, smem,
+                   sems, n_steps: int, n_windows: int):
+    """Sequential pass over owner-sorted rows.
+
+    smem: [0] current window index. acc: (ROWS, W) accumulator for the
+    current window. Owners are NON-DECREASING across the stream, so each
+    window is finalized exactly once; windows with no instances keep the
+    zero-aliased output. Flushes are inline start+wait: they are rare
+    (~N/W + n_steps total) and tiny (32 KB), and conditional cross-step
+    semaphore state measurably stalls the Mosaic pipeline (~seconds/step).
+    """
+    del zeros_ref
+    k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        smem[0] = 0
+        acc[:] = jnp.zeros((ROWS, W), jnp.float32)
+
+    own = own_blk[0:1, :]                                   # (1, STEP) i32
+    win = own // W
+    win_sub = _to_sub(win)                                  # (STEP, 1) f32
+    ol_sub = _to_sub(own - win * W)                         # (STEP, 1) f32
+    rows = rows_blk[:, :]                                   # (ROWS, STEP)
+    lane_w = _iota2((1, W), 1).astype(jnp.float32)
+    max_win = jnp.max(win)
+
+    def flush(j):
+        cp = pltpu.make_async_copy(
+            acc, out_hbm.at[:, pl.ds(pl.multiple_of(j * W, W), W)], sems)
+        cp.start()
+        cp.wait()
+        acc[:] = jnp.zeros((ROWS, W), jnp.float32)
+
+    def body(state):
+        j, done, it = state
+        sel = (win_sub == j.astype(jnp.float32))            # (STEP, 1)
+        onehot = jnp.where(sel, (ol_sub == lane_w).astype(jnp.float32), 0.0)
+        acc[:] += jax.lax.dot_general(
+            rows, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        done_here = max_win <= j
+
+        @pl.when(jnp.logical_not(done_here) & (j < n_windows))
+        def _():
+            flush(j)
+
+        nxt = jnp.min(jnp.where(win > j, win, n_windows))
+        return jnp.where(done_here, j, nxt), done_here, it + 1
+
+    j0 = smem[0]
+    j, _, _ = jax.lax.while_loop(lambda s: jnp.logical_not(s[1]), body,
+                                 (j0, jnp.bool_(False), jnp.int32(0)))
+    smem[0] = j
+
+    @pl.when(k == n_steps - 1)
+    def _():
+        jf = smem[0]
+
+        @pl.when(jf < n_windows)
+        def _():
+            flush(jf)
+
+
+def segment_reduce_rows(rows_t: jnp.ndarray, own: jnp.ndarray,
+                        n_owners: int, interpret=None) -> jnp.ndarray:
+    """rows_t: (ROWS, I) f32 instance rows; own: (I,) i32 NON-DECREASING
+    owner ids in [0, n_owners]. Returns (ROWS, n_owners + 1) per-owner sums
+    (the last row collects the sentinel id n_owners).
+
+    Owners must be sorted ascending (sort upstream with the wide
+    bandwidth-bound TPU sort). I must be a multiple of STEP.
+    """
+    n_inst = own.shape[0]
+    assert n_inst % STEP == 0, 'instance count must be STEP-aligned'
+    assert rows_t.shape == (ROWS, n_inst)
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    n_windows = -(-(n_owners + 1) // W)  # +1: sentinel id == n_owners
+    n_pad = n_windows * W
+    n_steps = n_inst // STEP
+
+    out = pl.pallas_call(
+        functools.partial(_reduce_kernel, n_steps=n_steps,
+                          n_windows=n_windows),
+        out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec((1, STEP), lambda k: (0, k),
+                             memory_space=pltpu.VMEM),     # owners
+                pl.BlockSpec((ROWS, STEP), lambda k: (0, k),
+                             memory_space=pltpu.VMEM),     # rows
+                pl.BlockSpec(memory_space=pl.ANY),         # zeros alias
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((ROWS, W), jnp.float32),        # accumulator
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={2: 0},
+    )(own.reshape(1, n_inst), rows_t,
+      jnp.zeros((ROWS, n_pad), jnp.float32))
+    return out[:, :n_owners + 1]
+
+
+def reduce_by_gaussian(rows_t: jnp.ndarray, own: jnp.ndarray,
+                       n_gaussians: int, n_data_rows: int = 9,
+                       interpret=None) -> jnp.ndarray:
+    """Sorts (ROWS_any, I) instance rows by owner and segment-reduces them.
+
+    own may contain the sentinel id n_gaussians (dropped slots; their sums
+    land in a discarded extra row). Returns (n_data_rows, n_gaussians).
+    The sort carries only the data rows (bandwidth-bound payload).
+    """
+    n_inst = own.shape[0]
+    ops = jax.lax.sort(
+        (own,) + tuple(jax.lax.bitcast_convert_type(rows_t[r], jnp.int32)
+                       for r in range(n_data_rows)),
+        num_keys=1, is_stable=False)
+    sorted_own = ops[0]
+    sorted_rows = jax.lax.bitcast_convert_type(
+        jnp.stack(ops[1:], axis=0), jnp.float32)
+    pad = jnp.zeros((ROWS - n_data_rows, n_inst), jnp.float32)
+    out = segment_reduce_rows(
+        jnp.concatenate([sorted_rows, pad], axis=0), sorted_own,
+        n_gaussians, interpret=interpret)
+    return out[:n_data_rows, :n_gaussians]
