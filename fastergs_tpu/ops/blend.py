@@ -155,7 +155,8 @@ def _blend_forward(packed, tile_start, tile_end, statics: BlendStatics):
         used = t_before >= statics.transmittance_threshold
         w = jnp.where(used, t_before * alpha_eff, 0.0)
         acc = acc + jnp.einsum('tcp,tcd->tpd', w, cl,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         factor = jnp.where(used, one_minus, 1.0)
         trans = trans * jnp.prod(factor, axis=1)
         return k + 1, trans, acc
@@ -193,7 +194,8 @@ def _blend_backward(packed, tile_start, tile_end,
     # residual color·grad dot product carry, initialized to the full
     # (pre-background) accumulated color — the "color_pixel_after" chain
     # (kernels_backward.cuh:370-372, 429).
-    r0 = jnp.einsum('tpd,tpd->tp', acc_final, g_acc)
+    r0 = jnp.einsum('tpd,tpd->tp', acc_final, g_acc,
+                precision=jax.lax.Precision.HIGHEST)
     # d transmittance term: for used Gaussian k, dT_final/dalpha_k =
     # -T_final / (1 - alpha_k)
     common = -trans_final * g_trans                           # (T, P)
@@ -223,12 +225,14 @@ def _blend_backward(packed, tile_start, tile_end,
         # color gradient (with straight-through clamp factor,
         # kernels_backward.cuh:314-318, 426)
         g_color_inst = jnp.einsum('tcp,tpd->tcd', w, g_acc,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         g_color_inst = g_color_inst * (craw >= 0.0)
 
         # alpha gradient
         cg = jnp.einsum('tcd,tpd->tcp', cl, g_acc,
-                        preferred_element_type=jnp.float32)   # c_k · g_p
+                        preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)   # c_k · g_p
         u = w * cg
         r_after = r_carry[:, None, :] - jnp.cumsum(u, axis=1)  # inclusive
         guard = 1.0 / jnp.maximum(one_minus, statics.one_minus_alpha_eps)

@@ -97,7 +97,8 @@ def _seg_cumsum_mxu(x, seg0, exclusive):
     lanes — Mosaic supports lane-axis take_along_axis).
     """
     full = jax.lax.dot_general(x, _tri(), (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     idx = jnp.maximum(seg0 - 1, 0)
     prev = jnp.take_along_axis(full, jnp.broadcast_to(idx, x.shape), axis=1)
     prev = jnp.where(seg0 > 0, prev, 0.0)
@@ -158,7 +159,8 @@ def _power_coeffs(fields, t_ids, statics: BlendStatics):
 
 def _mm(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _alpha_eff_from_power(power, op, statics: BlendStatics):
@@ -439,7 +441,8 @@ def _bwd_grad_rows(g_blk, sub, fields, basis, mxl, myl, alpha_eff, d_alpha,
     helper = -alpha_eff * d_alpha
     mom = jax.lax.dot_general(basis, helper,
                               (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     m_lx2, m_lx = mom[0:1], mom[1:2]                       # Σh·lx², Σh·lx
     m_ly2, m_ly = mom[2:3], mom[3:4]
     m_lxy, m0 = mom[4:5], mom[5:6]

@@ -28,7 +28,8 @@ def rms_knn_distances(points: jnp.ndarray, k: int = 3, chunk: int = 1024) -> jnp
         block = jax.lax.dynamic_slice_in_dim(pts, i * chunk, chunk)
         bsq = jax.lax.dynamic_slice_in_dim(sq, i * chunk, chunk)
         d2 = (bsq[:, None] + sq[None, :]
-              - 2.0 * jnp.dot(block, pts.T, preferred_element_type=jnp.float32))
+              - 2.0 * jnp.dot(block, pts.T, preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST))
         # mask self and padding columns
         cols = jnp.arange(pts.shape[0])
         rows = i * chunk + jnp.arange(chunk)

@@ -121,7 +121,8 @@ def preprocess(
     visible = jnp.ones((n,), dtype=bool) if active_mask is None else active_mask
 
     # --- z culling (kernels_forward.cuh:64-67) ---
-    depth = means @ r3[:3] + r3[3]
+    depth = jnp.matmul(means, r3[:3],
+                   precision=jax.lax.Precision.HIGHEST) + r3[3]
     visible &= (depth >= cam.near_plane) & (depth <= cam.far_plane)
     safe_depth = jnp.where(depth > 1e-12, depth, 1.0)
 
@@ -166,8 +167,10 @@ def preprocess(
     c33 = rc1 * rc1 * v1 + rc2 * rc2 * v2 + rc3 * rc3 * v3
 
     # --- normalized image coords (kernels_forward.cuh:99-102) ---
-    x = (means @ r1[:3] + r1[3]) / safe_depth
-    y = (means @ r2[:3] + r2[3]) / safe_depth
+    x = (jnp.matmul(means, r1[:3],
+                precision=jax.lax.Precision.HIGHEST) + r1[3]) / safe_depth
+    y = (jnp.matmul(means, r2[:3],
+                precision=jax.lax.Precision.HIGHEST) + r2[3]) / safe_depth
 
     # --- EWA Jacobian with ±15% frustum clamp (kernels_forward.cuh:105-124) ---
     clip_left = (-0.15 * cam.width - cam.center_x) / cam.focal_x

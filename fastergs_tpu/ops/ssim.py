@@ -56,10 +56,12 @@ def _blur(x: jnp.ndarray) -> jnp.ndarray:
     mw = jnp.asarray(_banded_blur_matrix(w_))     # (W, W): out_w <- in_w
     # W axis: contract last dim with mw^T (symmetric band, mw == mw^T)
     y = lax.dot_general(x, mw, (((2,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # (C, H, W)
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)      # (C, H, W)
     # H axis: contract dim 1
     y = lax.dot_general(y, mh, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # (C, W, H)
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)      # (C, W, H)
     return jnp.swapaxes(y, 1, 2)
 
 
