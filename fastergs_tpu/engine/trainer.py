@@ -463,9 +463,29 @@ class FasterGSTrainer(Configurable):
              for j in range(n_steps)], jnp.float32)
         g.update_learning_rate(iteration + n_steps)  # keep host lr in sync
         lrs = {k: jnp.float32(v) for k, v in g.lrs.items()}
-        g.state, metrics = train_steps_fused(
+        key = self._next_key()
+        # snapshot: the dispatch donates g.state, and a mid-window instance
+        # overflow silently drops splats (the reference instead sizes buffers
+        # exactly every frame, forward.cu:99-102) — if the window's demand
+        # exceeded the cap we grow it and REPLAY the window from this copy
+        backup = jax.tree_util.tree_map(
+            lambda x: x.copy() if hasattr(x, 'copy') else x, g.state)
+        new_state, metrics = train_steps_fused(
             g.state, self.device_data, view_indices, lrs, means_lrs,
-            self._next_key(), statics)
+            key, statics)
+        demand = int(metrics['n_rect_instances'])
+        self._instance_watermark = max(self._instance_watermark, demand)
+        if demand > self.INSTANCE_CAP:
+            self.INSTANCE_CAP = _next_pow2(int(demand * 1.5))
+            log_warning(
+                f'instance overflow inside fused window at iteration '
+                f'{iteration:,} (demand {demand:,} > cap) — growing capacity '
+                f'to {self.INSTANCE_CAP:,} and replaying the window')
+            statics = self._make_statics(update_densify)
+            new_state, metrics = train_steps_fused(
+                backup, self.device_data, view_indices, lrs, means_lrs,
+                key, statics)
+        g.state = new_state
         self._pending_metrics.append((iteration + n_steps - 1, metrics))
         if (iteration + n_steps) % self.LOG_INTERVAL < n_steps:
             self._flush_metrics()

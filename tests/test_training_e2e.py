@@ -9,6 +9,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from fastergs_tpu.data.synthetic import make_synthetic_dataset
 from fastergs_tpu.models.gaussians import FasterGSModel
 from fastergs_tpu.engine.renderer import FasterGSRenderer
@@ -92,3 +94,23 @@ def test_training_improves_psnr_mcmc(synthetic, tmp_path):
     # finalize wrote the gaussian count file (reference Trainer.py:222-227)
     content = (tmp_path / 'n_gaussians.txt').read_text()
     assert 'N_Gaussians:' in content
+
+
+def test_fused_window_overflow_grows_cap_and_replays(synthetic):
+    """A mid-window instance overflow must grow the cap and replay the
+    window at the new capacity BEFORE the next densify event (the reference
+    instead sizes buffers exactly every frame, forward.cu:99-102)."""
+    dataset, _ = synthetic
+    model, renderer, trainer = _make_trainer({
+        'NUM_ITERATIONS': 100,
+        'INSTANCE_CAP': 512,   # far below the scene's instance demand
+        'LOG_INTERVAL': 50,
+    })
+    trainer.callbacks.run_pre(dataset)
+    trainer._run_fused_window(0, 4)
+    assert trainer.INSTANCE_CAP > 512, 'overflow did not grow the cap'
+    # the replay ran at the grown capacity: recorded demand fits the cap
+    trainer._flush_metrics()
+    _, host = trainer.metrics_history[-1]
+    assert host['n_rect_instances'] <= trainer.INSTANCE_CAP
+    assert np.isfinite(host['loss'])
