@@ -2,6 +2,9 @@
 training on a synthetic video."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 
 from fastergs_tpu.data.synthetic import (

@@ -5,6 +5,9 @@ is compile-checked and benchmarked separately.
 """
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

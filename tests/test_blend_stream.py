@@ -8,6 +8,7 @@ boundaries.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +28,7 @@ def _compare(scene, cam, cap, bg=(0.0, 0.0, 0.0)):
     return img_p
 
 
+@pytest.mark.slow
 def test_stream_sparse_scene_empty_tiles():
     """A few tiny Gaussians: most tiles are empty (tile-skip writes)."""
     cam = make_camera(width=64, height=64)  # 4x4 tiles
@@ -34,6 +36,7 @@ def test_stream_sparse_scene_empty_tiles():
     _compare(scene, cam, cap=1 << 9)
 
 
+@pytest.mark.slow
 def test_stream_no_instances():
     """All Gaussians behind the camera: pure-background image."""
     cam = make_camera(width=48, height=32)
@@ -45,6 +48,7 @@ def test_stream_no_instances():
     np.testing.assert_allclose(np.asarray(img[0]), 0.3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stream_opaque_early_termination():
     """High-opacity stacked Gaussians: transmittance freezes mid-stream."""
     cam = make_camera(width=32, height=32)
@@ -91,6 +95,7 @@ def test_stream_opaque_early_termination():
         assert ok.mean() >= 0.96, f'{ok.mean()=}'
 
 
+@pytest.mark.slow
 def test_stream_tiny_cap_exact_chunks():
     """Instance count filling the capacity exactly (no sentinel tail)."""
     cam = make_camera(width=48, height=48)
@@ -104,6 +109,7 @@ def test_stream_tiny_cap_exact_chunks():
     _compare(scene, cam, cap=cap)
 
 
+@pytest.mark.slow
 def test_stream_pruning_scores_match_xla_sweep():
     """The streaming Speedy-Splat score kernel must reproduce the XLA
     two-pass sweep (same preprocess, binning, and score math)."""

@@ -10,6 +10,9 @@ import os
 import sys
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import yaml
 
 from fastergs_tpu.cli import (benchmark as cli_benchmark,

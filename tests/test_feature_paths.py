@@ -6,6 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from fastergs_tpu.data.synthetic import make_synthetic_dataset
 from fastergs_tpu.models.gaussians import FasterGSModel
 from fastergs_tpu.engine.renderer import FasterGSRenderer

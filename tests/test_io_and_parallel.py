@@ -4,6 +4,9 @@ multi-chip dry run, and pruning scores sanity."""
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -1,6 +1,9 @@
 """View-parallel training step: correctness vs the single-chip step."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -32,6 +32,7 @@ def test_forward_matches_oracle(proper_aa, bg):
     assert int(aux.n_rect_instances) <= 1 << 14
 
 
+@pytest.mark.slow
 def test_forward_active_sh_bases():
     cam = make_camera()
     scene = make_scene(n=200, seed=2)
@@ -43,6 +44,7 @@ def test_forward_active_sh_bases():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_chunk_size_invariance():
     cam = make_camera(width=48, height=32)
     scene = make_scene(n=300, seed=3)
@@ -54,7 +56,7 @@ def test_chunk_size_invariance():
                                    rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize('proper_aa', [False, True])
+@pytest.mark.parametrize('proper_aa', [pytest.param(False, marks=pytest.mark.slow), True])
 def test_gradients_match_oracle(proper_aa):
     """custom_vjp backward vs autodiff through the sequential oracle."""
     cam = make_camera(width=40, height=32)
@@ -82,6 +84,7 @@ def test_gradients_match_oracle(proper_aa):
                                    err_msg=f'grad mismatch: {name}')
 
 
+@pytest.mark.slow
 def test_gradients_finite_difference():
     """Spot-check custom_vjp grads against central differences."""
     cam = make_camera(width=32, height=32)
@@ -133,6 +136,7 @@ def test_inference_rasterize_saturates():
                                np.asarray(hwc))
 
 
+@pytest.mark.slow
 def test_active_mask_excludes_padding():
     cam = make_camera()
     scene = make_scene(n=200, seed=8)
@@ -149,6 +153,7 @@ def test_active_mask_excludes_padding():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_debug_input_validation():
     """consts.debug enables the reference's CHECK_INPUT analog."""
     import dataclasses

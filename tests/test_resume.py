@@ -4,6 +4,9 @@ an uninterrupted run (same schedule, restored optimizer state)."""
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 
 from fastergs_tpu.data.synthetic import make_synthetic_dataset
