@@ -46,6 +46,8 @@ def load_dataset_from_config(cfg: ConfigParameterList) -> BaseDataset:
 
 def build_from_config(config_path: str):
     """Returns (cfg, dataset, model, renderer, trainer)."""
+    from fastergs_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
     cfg = load_yaml_config(config_path)
     if hasattr(cfg, 'GLOBAL'):
         set_log_level(getattr(cfg.GLOBAL, 'LOG_LEVEL', 2))
