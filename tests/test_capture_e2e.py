@@ -1,0 +1,164 @@
+"""End-to-end training from an ON-DISK capture (images + COLMAP model).
+
+The closest stand-in for a real MipNeRF360 capture this environment can
+hold: ground-truth renders written to PNG files plus a binary COLMAP
+sparse model (cameras.bin/images.bin/points3D.bin), loaded through the
+production `load_colmap_dataset` path (image decoding, scale factors,
+camera conversion, SfM point cloud) and trained with the full Trainer —
+the driver's garden parity procedure (README: "real-data parity") runs the
+exact same pipeline on a real capture directory.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
+
+from fastergs_tpu.data.colmap import load_colmap_dataset  # noqa: E402
+from fastergs_tpu.data.synthetic import (  # noqa: E402
+    random_gaussian_scene, ring_cameras)
+from fastergs_tpu.engine.renderer import FasterGSRenderer  # noqa: E402
+from fastergs_tpu.engine.trainer import FasterGSTrainer  # noqa: E402
+from fastergs_tpu.models.gaussians import FasterGSModel  # noqa: E402
+from fastergs_tpu.ops.projection import CameraParams  # noqa: E402
+from fastergs_tpu.ops.rasterize import (  # noqa: E402
+    RasterizerSettings, rasterize)
+from fastergs_tpu.ops.ssim import psnr  # noqa: E402
+
+
+def _rotmat_to_qvec(R):
+    """Rotation matrix -> COLMAP (w, x, y, z) quaternion."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1.0) * 2
+    q = np.empty(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def _write_capture(root, views, images, points, colors):
+    """Writes <root>/images/*.png and <root>/sparse/0/*.bin."""
+    from PIL import Image
+    img_dir = root / 'images'
+    sparse = root / 'sparse' / '0'
+    img_dir.mkdir(parents=True)
+    sparse.mkdir(parents=True)
+
+    for v, img in zip(views, images):
+        arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(arr.transpose(1, 2, 0)).save(
+            img_dir / f'{v.name}.png')
+
+    cam = views[0].camera
+    with open(sparse / 'cameras.bin', 'wb') as f:
+        f.write(struct.pack('<Q', 1))
+        f.write(struct.pack('<iiQQ', 1, 1, cam.width, cam.height))  # PINHOLE
+        f.write(struct.pack('<4d', cam.focal_x, cam.focal_y,
+                            cam.center_x, cam.center_y))
+
+    with open(sparse / 'images.bin', 'wb') as f:
+        f.write(struct.pack('<Q', len(views)))
+        for i, v in enumerate(views):
+            R, t = v.w2c34[:, :3], v.w2c34[:, 3]
+            f.write(struct.pack('<i', i + 1))
+            f.write(struct.pack('<4d', *_rotmat_to_qvec(R)))
+            f.write(struct.pack('<3d', *t))
+            f.write(struct.pack('<i', 1))
+            f.write(f'{v.name}.png'.encode() + b'\x00')
+            f.write(struct.pack('<Q', 0))
+
+    with open(sparse / 'points3D.bin', 'wb') as f:
+        f.write(struct.pack('<Q', len(points)))
+        for i in range(len(points)):
+            f.write(struct.pack('<i', i + 1) + struct.pack('<i', 0))
+            f.write(struct.pack('<3d', *points[i]))
+            f.write(struct.pack('<3B', *(colors[i] * 255).astype(np.uint8)))
+            f.write(struct.pack('<d', 0.5))
+            f.write(struct.pack('<Q', 0))
+
+
+@pytest.fixture(scope='module')
+def capture(tmp_path_factory):
+    root = tmp_path_factory.mktemp('capture')
+    scene = random_gaussian_scene(500, seed=7)
+    views = ring_cameras(10, radius=3.2, width=96, height=64, focal=80.0)
+    gt_args = tuple(jnp.asarray(scene[k]) for k in
+                    ('means', 'scales', 'rotations', 'opacities',
+                     'sh_coefficients_0', 'sh_coefficients_rest'))
+    images = []
+    for v in views:
+        settings = RasterizerSettings(camera=CameraParams.from_view(v),
+                                      bg_color=jnp.zeros(3),
+                                      active_sh_bases=16)
+        images.append(np.asarray(rasterize(*gt_args, settings, to_chw=True,
+                                           instance_cap=1 << 15)))
+    # noisy SfM-like subset of the true means
+    rng = np.random.default_rng(1)
+    keep = rng.random(500) < 0.6
+    pts = scene['means'][keep] + rng.normal(0, 0.02, (keep.sum(), 3))
+    C0 = 0.28209479177387814
+    cols = np.clip(0.5 + C0 * scene['sh_coefficients_0'][keep, 0], 0, 1)
+    _write_capture(root, views, images, pts, cols)
+    return root, views, images
+
+
+def test_load_capture_from_disk(capture):
+    root, views, images = capture
+    ds = load_colmap_dataset(str(root), test_step=5)
+    assert len(ds.train_views) + len(ds.test_views) == len(views)
+    v0 = sorted(ds.train_views + ds.test_views, key=lambda v: v.name)[0]
+    # poses and pixels survive the COLMAP round-trip
+    np.testing.assert_allclose(v0.w2c34, views[0].w2c34, atol=1e-5)
+    np.testing.assert_allclose(v0.rgb, images[0], atol=2e-2)
+    assert ds.point_cloud is not None and len(ds.point_cloud[0]) > 100
+
+
+def test_image_scale_factor(capture):
+    root, views, _ = capture
+    ds = load_colmap_dataset(str(root), image_scale_factor=0.5, test_step=5)
+    v = ds.train_views[0]
+    assert v.rgb.shape == (3, 32, 48)
+    assert v.camera.width == 48 and v.camera.height == 32
+
+
+def test_train_from_disk_capture(capture):
+    """The full garden-procedure pipeline on the on-disk capture."""
+    root, _, _ = capture
+    ds = load_colmap_dataset(str(root), test_step=5)
+    model = FasterGSModel(sh_degree=3).build()
+    renderer = FasterGSRenderer(model, {'INSTANCE_CAP': 1 << 15})
+    trainer = FasterGSTrainer(model, renderer, {
+        'NUM_ITERATIONS': 150,
+        'DENSIFICATION_START_ITERATION': 50,
+        'DENSIFICATION_END_ITERATION': 120,
+        'DENSIFICATION_INTERVAL': 50,
+        'OPACITY_RESET_INTERVAL': 10_000,
+        'MORTON_ORDERING_INTERVAL': 10_000,
+        'INSTANCE_CAP': 1 << 15,
+        'LOG_INTERVAL': 50,
+    })
+    trainer.callbacks.run_pre(ds)
+
+    def test_psnr():
+        vals = [float(psnr(renderer.render_image(v, to_chw=True,
+                                                 benchmark=True)['rgb'],
+                           jnp.asarray(v.rgb))) for v in ds.test_views]
+        return float(np.mean(vals))
+
+    before = test_psnr()
+    for it in range(trainer.NUM_ITERATIONS):
+        trainer.callbacks.run_training(it, ds)
+    after = test_psnr()
+    trainer.callbacks.run_post(trainer.NUM_ITERATIONS, ds)
+    assert after > before + 2.0, (before, after)
