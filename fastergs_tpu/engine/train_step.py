@@ -47,6 +47,7 @@ class TrainStepStatics(NamedTuple):
     consts: RasterizerConstants = DEFAULT_CONSTANTS
     temporal: bool = False      # 4D model family (models/gaussians4d.py)
     use_pallas: bool | None = None  # None = auto (Pallas on real TPUs)
+    views_per_step: int = 1     # >1: batched steps (mean grads, one Adam)
 
 
 class DeviceDataset(NamedTuple):
@@ -166,33 +167,63 @@ def train_step_impl(
     key: jax.Array,
     statics: TrainStepStatics,
 ):
-    """One training iteration. Returns (new_state, metrics dict)."""
+    """One training iteration. Returns (new_state, metrics dict).
+
+    With statics.views_per_step > 1, view_idx is (V,) and the step renders
+    V views, averages their gradients, and applies ONE Adam update —
+    batched optimization (an opt-in throughput mode beyond the reference's
+    strictly per-view schedule); densification info still accumulates per
+    rendered view, exactly V times per step.
+    """
     cap = state.params['means'].shape[0]
     active = jnp.arange(cap, dtype=jnp.int32) < state.n_active
-    cam = camera_for_view(data, view_idx, statics)
     filter_3d = state.filter_3d
 
     key_bg, key_noise = jax.random.split(key)
-    if statics.use_random_background:
-        bg = jax.random.uniform(key_bg, (3,))  # Trainer.py:179
-    else:
-        bg = data.bg_color
 
-    timestamp = (data.timestamps[view_idx]
-                 if statics.temporal and data.timestamps is not None else None)
-    g_params, visible, g_mean2d, metrics = compute_view_grads(
-        state.params, filter_3d, state.n_active, cam,
-        data.rgb[view_idx], data.alpha[view_idx], bg, statics, timestamp)
+    V = statics.views_per_step
+    view_ids = jnp.reshape(view_idx, (V,)) if V > 1 else [view_idx]
+    bg_keys = jax.random.split(key_bg, V)
 
     new_info = state.densification_info
-    if statics.update_densification_info:
-        # reference: kernels_backward.cuh:194-201 — visibility count and
-        # NDC-scaled mean2d gradient norm accumulate per visible primitive
-        ndc = 0.5 * g_mean2d * jnp.asarray(
-            [float(statics.width), float(statics.height)])[None, :]
-        grad_norm = jnp.linalg.norm(ndc, axis=-1)
-        new_info = new_info.at[0].add(visible.astype(jnp.float32))
-        new_info = new_info.at[1].add(jnp.where(visible, grad_norm, 0.0))
+    g_params = None
+    metrics = None
+    for v in range(V):
+        vid = view_ids[v]
+        cam = camera_for_view(data, vid, statics)
+        if statics.use_random_background:
+            bg = jax.random.uniform(bg_keys[v], (3,))  # Trainer.py:179
+        else:
+            bg = data.bg_color
+        timestamp = (data.timestamps[vid]
+                     if statics.temporal and data.timestamps is not None
+                     else None)
+        g_v, visible, g_mean2d, m_v = compute_view_grads(
+            state.params, filter_3d, state.n_active, cam,
+            data.rgb[vid], data.alpha[vid], bg, statics, timestamp)
+        g_params = g_v if g_params is None else {
+            k: g_params[k] + g_v[k] for k in g_params}
+        # float metrics accumulate (mean below); counters report the MAX
+        # across the batch (n_rect_instances drives overflow detection)
+        metrics = m_v if metrics is None else {
+            k: (metrics[k] + m_v[k]
+                if jnp.issubdtype(m_v[k].dtype, jnp.floating)
+                else jnp.maximum(metrics[k], m_v[k])) for k in metrics}
+
+        if statics.update_densification_info:
+            # reference: kernels_backward.cuh:194-201 — visibility count and
+            # NDC-scaled mean2d gradient norm accumulate per visible primitive
+            ndc = 0.5 * g_mean2d * jnp.asarray(
+                [float(statics.width), float(statics.height)])[None, :]
+            grad_norm = jnp.linalg.norm(ndc, axis=-1)
+            new_info = new_info.at[0].add(visible.astype(jnp.float32))
+            new_info = new_info.at[1].add(jnp.where(visible, grad_norm, 0.0))
+
+    if V > 1:
+        g_params = {k: g_params[k] / float(V) for k in g_params}
+        metrics = {k: (metrics[k] / float(V)
+                       if jnp.issubdtype(metrics[k].dtype, jnp.floating)
+                       else metrics[k]) for k in metrics}
 
     # ---- fused Adam update (adam/src/adam.cu semantics) ----
     new_params, new_adam = adam_step(state.params, g_params, state.adam, lrs,
@@ -248,6 +279,9 @@ def train_steps_fused(
         return train_step_impl(st, data, idx, step_lrs, 5e5 * lr_means, k,
                                statics)
 
+    if statics.views_per_step > 1:
+        # (n_steps * V,) flat sampling -> (n_steps, V) batched steps
+        view_indices = view_indices.reshape(-1, statics.views_per_step)
     keys = jax.random.split(key, view_indices.shape[0])
     state, metrics = jax.lax.scan(body, state, (view_indices, means_lrs, keys))
     last = jax.tree_util.tree_map(lambda m: m[-1], metrics)

@@ -104,6 +104,7 @@ def _next_pow2(n: int) -> int:
     ),
     SEED=0,
     INSTANCE_CAP=1 << 21,
+    VIEWS_PER_STEP=1,           # >1: batched steps (mean grads, one Adam)
     BLEND_CHUNK=32,
     USE_PALLAS_BLEND=None,  # None = auto: Pallas kernels on real TPUs
     PARALLEL_MODE='none',   # 'none' | 'views' | 'gaussians' (multi-chip)
@@ -158,6 +159,7 @@ class FasterGSTrainer(Configurable):
             use_random_background=self.USE_RANDOM_BACKGROUND_COLOR,
             instance_cap=self.INSTANCE_CAP,
             chunk=self.BLEND_CHUNK,
+            views_per_step=max(int(self.VIEWS_PER_STEP), 1),
             loss_weights=LossWeights(
                 lambda_l1=self.LOSS.LAMBDA_L1,
                 lambda_dssim=self.LOSS.LAMBDA_DSSIM,
@@ -310,8 +312,12 @@ class FasterGSTrainer(Configurable):
                                     jnp.int32(self._sample_view()), lrs,
                                     noise_lr, self._next_key())
         else:
+            V = statics.views_per_step
+            idx = (jnp.asarray([self._sample_view() for _ in range(V)],
+                               jnp.int32) if V > 1
+                   else jnp.int32(self._sample_view()))
             g.state, metrics = train_step(
-                g.state, self.device_data, jnp.int32(self._sample_view()),
+                g.state, self.device_data, idx,
                 lrs, noise_lr, self._next_key(), statics)
         self._pending_metrics.append((iteration, metrics))
         if (iteration + 1) % self.LOG_INTERVAL == 0:
@@ -457,7 +463,8 @@ class FasterGSTrainer(Configurable):
                           and iteration < self.DENSIFICATION_END_ITERATION)
         statics = self._make_statics(update_densify)
         view_indices = jnp.asarray(
-            [self._sample_view() for _ in range(n_steps)], jnp.int32)
+            [self._sample_view()
+             for _ in range(n_steps * statics.views_per_step)], jnp.int32)
         means_lrs = jnp.asarray(
             [float(g.lr_means_scheduler(iteration + 1 + j))
              for j in range(n_steps)], jnp.float32)

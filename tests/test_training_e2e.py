@@ -114,3 +114,39 @@ def test_fused_window_overflow_grows_cap_and_replays(synthetic):
     _, host = trainer.metrics_history[-1]
     assert host['n_rect_instances'] <= trainer.INSTANCE_CAP
     assert np.isfinite(host['loss'])
+
+
+def test_batched_views_per_step(synthetic):
+    """VIEWS_PER_STEP>1: mean-gradient batched steps train stably."""
+    dataset, _ = synthetic
+    model, renderer, trainer = _make_trainer({
+        'NUM_ITERATIONS': 80,
+        'VIEWS_PER_STEP': 2,
+        'OPACITY_RESET_INTERVAL': 10_000,
+        'MORTON_ORDERING_INTERVAL': 10_000,
+        'DENSIFICATION_START_ITERATION': 10_000,
+        'INSTANCE_CAP': 1 << 14,
+        'LOG_INTERVAL': 40,
+    })
+    trainer.callbacks.run_pre(dataset)
+    psnr_before = _test_psnr(model, renderer, dataset)
+    for it in range(trainer.NUM_ITERATIONS):
+        trainer.callbacks.run_training(it, dataset)
+    psnr_after = _test_psnr(model, renderer, dataset)
+    assert psnr_after > psnr_before + 1.0, (psnr_before, psnr_after)
+    trainer._flush_metrics()
+    assert np.isfinite(trainer.metrics_history[-1][1]['loss'])
+
+
+def test_fused_window_batched_views(synthetic):
+    dataset, _ = synthetic
+    model, renderer, trainer = _make_trainer({
+        'NUM_ITERATIONS': 64,
+        'VIEWS_PER_STEP': 2,
+        'INSTANCE_CAP': 1 << 14,
+        'LOG_INTERVAL': 16,
+    })
+    trainer.callbacks.run_pre(dataset)
+    trainer._run_fused_window(0, 16)
+    trainer._flush_metrics()
+    assert np.isfinite(trainer.metrics_history[-1][1]['loss'])
