@@ -163,14 +163,23 @@ def reduce_by_gaussian(rows_t: jnp.ndarray, own: jnp.ndarray,
     The sort carries only the data rows (bandwidth-bound payload).
     """
     n_inst = own.shape[0]
-    ops = jax.lax.sort(
-        (own,) + tuple(jax.lax.bitcast_convert_type(rows_t[r], jnp.int32)
-                       for r in range(n_data_rows)),
-        num_keys=1, is_stable=False)
+    # pad the sort to a power of two: wide variadic TPU sorts at other
+    # lengths can take minutes to compile (see build_tile_instances_stream);
+    # pad slots carry the sentinel owner and zero rows (summed into the
+    # discarded extra row)
+    sort_len = max(1 << (n_inst - 1).bit_length(), STEP)
+    pad_n = sort_len - n_inst
+    ops_in = [own] + [jax.lax.bitcast_convert_type(rows_t[r], jnp.int32)
+                      for r in range(n_data_rows)]
+    if pad_n:
+        ops_in = [jnp.concatenate(
+            [o, jnp.full((pad_n,), v, jnp.int32)])
+            for o, v in zip(ops_in, [n_gaussians] + [0] * n_data_rows)]
+    ops = jax.lax.sort(tuple(ops_in), num_keys=1, is_stable=False)
     sorted_own = ops[0]
     sorted_rows = jax.lax.bitcast_convert_type(
         jnp.stack(ops[1:], axis=0), jnp.float32)
-    pad = jnp.zeros((ROWS - n_data_rows, n_inst), jnp.float32)
+    pad = jnp.zeros((ROWS - n_data_rows, sort_len), jnp.float32)
     out = segment_reduce_rows(
         jnp.concatenate([sorted_rows, pad], axis=0), sorted_own,
         n_gaussians, interpret=interpret)

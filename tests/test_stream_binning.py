@@ -109,3 +109,16 @@ def test_pallas_cumsum_columns_exact():
     a = rng.integers(-(1 << 28), 1 << 28, (4096, 15)).astype(np.int32)
     out = np.asarray(cumsum_columns(jnp.asarray(a), interpret=True))
     np.testing.assert_array_equal(out, np.cumsum(a, axis=0, dtype=np.int32))
+
+
+def test_reduce_by_gaussian_non_pow2():
+    from fastergs_tpu.ops.segreduce import reduce_by_gaussian
+    rng = np.random.default_rng(5)
+    I, N = 1536, 400  # non-power-of-two instance count
+    own = rng.integers(0, N + 1, I).astype(np.int32)
+    rows = rng.standard_normal((9, I)).astype(np.float32)
+    out = reduce_by_gaussian(jnp.asarray(rows), jnp.asarray(own), N,
+                             interpret=True)
+    ref = np.zeros((9, N + 1), np.float32)
+    np.add.at(ref.T, own, rows.T)
+    np.testing.assert_allclose(np.asarray(out), ref[:, :N], atol=1e-4)
