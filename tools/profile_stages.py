@@ -7,12 +7,19 @@ the true bottlenecks. Not a test — a development tool.
 Usage: python tools/profile_stages.py [n_gaussians]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from fastergs_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 WIDTH, HEIGHT = 1297, 840
 N_GAUSSIANS = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
@@ -63,7 +70,9 @@ def main():
     from fastergs_tpu.engine.train_step import (
         TrainStepStatics, camera_for_view, train_step_impl)
     from fastergs_tpu.ops.projection import preprocess, grid_size
-    from fastergs_tpu.ops.tiles import build_tile_instances_compact
+    from fastergs_tpu.ops.tiles import (attach_stream_grad,
+                                        build_tile_instances_compact,
+                                        build_tile_instances_stream)
     from fastergs_tpu.ops import blend_stream
     from fastergs_tpu.ops.blend import BlendStatics, pack_blend_inputs
     from fastergs_tpu.constants import DEFAULT_CONSTANTS
@@ -126,8 +135,21 @@ def main():
             [rows9, tidx.astype(jnp.float32)[:, None],
              jnp.zeros((rows9.shape[0], 6), jnp.float32)], axis=1).T
 
-    timeit('gather rows + tile row + T', rep(f_gather), pack9, gidx, tidx)
-    packed_t = jax.jit(f_gather)(pack9, gidx, tidx)
+    timeit('gather rows + tile row + T (OLD)', rep(f_gather),
+           pack9, gidx, tidx)
+
+    # the production path: fields ride the fill + sort; no gather
+    def f_stream(prims, pack9):
+        inst, rows9_t = build_tile_instances_stream(
+            prims, pack9, gw, gh, INSTANCE_CAP, consts)
+        packed_t = jnp.concatenate(
+            [rows9_t, inst.tile_idx.astype(jnp.float32)[None, :],
+             jnp.zeros((6, rows9_t.shape[1]), jnp.float32)], axis=0)
+        return packed_t, inst.tile_idx
+
+    timeit('stream build (fill+sort+payload+stack)', rep(f_stream),
+           prims, pack9)
+    packed_t, _ = jax.jit(f_stream)(prims, pack9)
     c = blend_stream.CHUNK
     ft = jnp.minimum(tidx[::c], gw * gh - 1)
     lt = jnp.minimum(tidx[c - 1::c], gw * gh - 1)
@@ -166,8 +188,24 @@ def main():
         return vjp(ct)[0]
 
     ct = jnp.ones((gidx.shape[0], 9), jnp.float32)
-    timeit('gather-vjp scatter (autodiff form)', rep(f_gather_vjp),
+    timeit('gather-vjp scatter (autodiff form, OLD)', rep(f_gather_vjp),
            pack9, gidx, ct)
+
+    # the production reduction: owner sort + pallas window segsum
+    from fastergs_tpu.ops.segreduce import reduce_by_gaussian
+
+    def f_segreduce(rows_t, gidx):
+        return reduce_by_gaussian(rows_t, gidx, cap).T
+
+    rows_t9 = jnp.ones((9, gidx.shape[0]), jnp.float32)
+    timeit('owner-sort + pallas segreduce', rep(f_segreduce), rows_t9, gidx)
+
+    # fill internals: XLA cumsum vs the pallas scan
+    from fastergs_tpu.ops.scan import cumsum_columns
+    arr15 = jnp.ones((INSTANCE_CAP, 15), jnp.int32)
+    timeit('fill cumsum: XLA (cap,15)', rep(lambda a: jnp.cumsum(a, axis=0)),
+           arr15)
+    timeit('fill cumsum: pallas scan', rep(cumsum_columns), arr15)
 
     # image loss fwd+bwd
     target = data.rgb[0]
