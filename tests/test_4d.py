@@ -88,3 +88,47 @@ def test_4d_training_improves_psnr(tmp_path):
     # temporal params got gradients (motion was learned, not frozen)
     v = np.asarray(model.gaussians.state.params['velocities'])
     assert np.abs(v).max() > 1e-4
+
+
+def test_4d_mcmc_training(tmp_path):
+    """MCMC relocation/growth operates on the temporal param groups too
+    (maintenance surgery is key-generic over the params dict)."""
+    dataset, _ = make_synthetic_video_dataset(
+        n_gaussians=250, n_cameras=5, n_times=3, width=64, height=48,
+        focal=55.0, seed=4, instance_cap=1 << 14)
+    model = FasterGS4DModel(sh_degree=1).build()
+    renderer = FasterGSRenderer(model, {'INSTANCE_CAP': 1 << 14})
+    trainer = FasterGSTrainer(model, renderer, {
+        'NUM_ITERATIONS': 160,
+        'USE_MCMC': True,
+        'MAX_PRIMITIVES': 800,
+        'DENSIFICATION_START_ITERATION': 50,
+        'DENSIFICATION_END_ITERATION': 140,
+        'DENSIFICATION_INTERVAL': 40,
+        'MORTON_ORDERING_INTERVAL': 10_000,
+        'LOSS': {'LAMBDA_OPACITY_REGULARIZATION': 0.01,
+                 'LAMBDA_SCALE_REGULARIZATION': 0.01},
+        'INSTANCE_CAP': 1 << 14,
+        'LOG_INTERVAL': 50,
+    })
+    trainer.output_directory = tmp_path
+    trainer.callbacks.run_pre(dataset)
+    n0 = model.gaussians.n_active
+
+    def test_psnr():
+        vals = [float(psnr(renderer.render_image(v, benchmark=True)['rgb'],
+                           jnp.asarray(v.rgb))) for v in dataset.test_views]
+        return float(np.mean(vals))
+
+    p0 = test_psnr()
+    for it in range(trainer.NUM_ITERATIONS):
+        trainer.callbacks.run_training(it, dataset)
+    p1 = test_psnr()
+    assert model.gaussians.n_active > n0  # MCMC growth happened
+    assert p1 > p0 + 1.0, (p0, p1)
+    # temporal groups stayed consistent through relocation/growth surgery
+    st = model.gaussians.state
+    cap = st.params['means'].shape[0]
+    for k in ('velocities', 'time_means', 'rotation_rates'):
+        assert st.params[k].shape[0] == cap
+        assert np.isfinite(np.asarray(st.params[k])).all()
