@@ -14,8 +14,6 @@ exactness — see _segment_fill_int).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -24,7 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 BLK = 2048   # rows per grid step
 
 
-def _scan_kernel(x_blk, out_blk, carry, n_steps: int):
+def _scan_kernel(x_blk, out_blk, carry):
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -58,7 +56,7 @@ def cumsum_columns(arr: jnp.ndarray, interpret=None) -> jnp.ndarray:
         interpret = jax.default_backend() != 'tpu'
     n_steps = r // BLK
     return pl.pallas_call(
-        functools.partial(_scan_kernel, n_steps=n_steps),
+        _scan_kernel,
         out_shape=jax.ShapeDtypeStruct((r, c), arr.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
