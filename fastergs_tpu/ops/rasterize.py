@@ -95,16 +95,11 @@ def render_from_primitives(
         # free) instead of a post-sort row gather (~12 ns/row latency-bound);
         # attach_stream_grad restores the pack9 gradient via the
         # deterministic per-Gaussian reduction
-        inst, rows9_t = build_tile_instances_stream(
+        inst, packed_t = build_tile_instances_stream(
             sg_prims, jax.lax.stop_gradient(pack9), gw, gh, instance_cap,
             consts, tile_row_band=tile_row_band)
         n_instances, n_expanded = inst.n_instances, inst.n_expanded_instances
-        rows9_t = attach_stream_grad(pack9, rows9_t, inst.gaussian_idx)
-        cap = rows9_t.shape[1]
-        packed_t = jnp.concatenate(
-            [rows9_t, inst.tile_idx.astype(jnp.float32)[None, :],
-             jnp.zeros((blend_stream.FIELD_ROWS - 10, cap), jnp.float32)],
-            axis=0)                                          # (16, I)
+        packed_t = attach_stream_grad(pack9, packed_t, inst.gaussian_idx)
         # per-chunk first/last tile ids drive the backward's block pipeline
         c = blend_stream.CHUNK
         ft = jnp.minimum(inst.tile_idx[::c], gw * gh - 1)

@@ -304,8 +304,10 @@ def build_tile_instances_stream(
     restored by `attach_stream_grad`, whose VJP performs the deterministic
     per-Gaussian reduction (the analog of kernels_backward.cuh:459-470).
 
-    Returns (CompactTileInstances, rows9_t): rows9_t is (9, I) f32, equal to
-    pack9_sg[gaussian_idx].T with zeros at sentinel slots.
+    Returns (CompactTileInstances, packed_t): packed_t is the streaming
+    kernels' (16, I) f32 layout — rows 0-8 the blend fields (equal to
+    pack9_sg[gaussian_idx].T, zeros at sentinel slots), row 9 the tile id,
+    rows 10-15 zero padding — assembled in ONE pass from the sort outputs.
     """
     n_gaussians = prims.rect.shape[0]
     fields_i32 = jax.lax.bitcast_convert_type(pack9_sg, jnp.int32)
@@ -337,31 +339,34 @@ def build_tile_instances_stream(
     if pad:
         ops = tuple(o[:instance_cap] for o in ops)
     sorted_tile, _, sorted_g = ops[0], ops[1], ops[2]
-    rows9_t = jax.lax.bitcast_convert_type(jnp.stack(ops[3:], axis=0),
-                                           jnp.float32)
+    zero = jnp.zeros((instance_cap,), jnp.float32)
+    packed_t = jnp.stack(
+        [jax.lax.bitcast_convert_type(c, jnp.float32) for c in ops[3:]]
+        + [sorted_tile.astype(jnp.float32)] + [zero] * 6, axis=0)
     inst = CompactTileInstances(
         gaussian_idx=sorted_g,
         tile_idx=sorted_tile,
         n_instances=jnp.minimum(total, instance_cap).astype(jnp.int32),
         n_expanded_instances=total.astype(jnp.int32),
     )
-    return inst, rows9_t
+    return inst, packed_t
 
 
 @jax.custom_vjp
-def attach_stream_grad(pack9: jnp.ndarray, rows9_t: jnp.ndarray,
+def attach_stream_grad(pack9: jnp.ndarray, packed_t: jnp.ndarray,
                        gaussian_idx: jnp.ndarray) -> jnp.ndarray:
-    """Passthrough of rows9_t (== pack9[gaussian_idx].T, sentinel-zeroed)
-    that restores differentiability w.r.t. pack9: the VJP reduces the
-    per-instance field cotangents to per-Gaussian sums (the deterministic
-    segment reduction replacing the reference's atomic accumulation,
-    kernels_backward.cuh:459-470)."""
+    """Passthrough of packed_t (rows 0-8 == pack9[gaussian_idx].T,
+    sentinel-zeroed) that restores differentiability w.r.t. pack9: the VJP
+    reduces the per-instance field cotangents (rows 0-8; the tile/pad rows
+    are non-differentiable) to per-Gaussian sums — the deterministic
+    segment reduction replacing the reference's atomic accumulation
+    (kernels_backward.cuh:459-470)."""
     del pack9, gaussian_idx
-    return rows9_t
+    return packed_t
 
 
-def _attach_stream_grad_fwd(pack9, rows9_t, gaussian_idx):
-    return rows9_t, (pack9.shape[0], gaussian_idx)
+def _attach_stream_grad_fwd(pack9, packed_t, gaussian_idx):
+    return packed_t, (pack9.shape[0], gaussian_idx)
 
 
 def _attach_stream_grad_bwd(res, d_rows):
