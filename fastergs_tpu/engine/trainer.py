@@ -107,7 +107,8 @@ def _next_pow2(n: int) -> int:
     VIEWS_PER_STEP=1,           # >1: batched steps (mean grads, one Adam)
     BLEND_CHUNK=32,
     USE_PALLAS_BLEND=None,  # None = auto: Pallas kernels on real TPUs
-    PARALLEL_MODE='none',   # 'none' | 'views' | 'gaussians' (multi-chip)
+    PARALLEL_MODE='none',   # 'none' | 'views' | 'gaussians' | 'hybrid'
+    HYBRID_VIEW_ROWS=2,     # hybrid mesh: view rows x gaussian cols
     LOG_INTERVAL=100,
 )
 class FasterGSTrainer(Configurable):
@@ -311,6 +312,13 @@ class FasterGSTrainer(Configurable):
             g.state, metrics = step(g.state, self.device_data,
                                     jnp.int32(self._sample_view()), lrs,
                                     noise_lr, self._next_key())
+        elif mode == 'hybrid':
+            step, _ = self._parallel_step(statics)
+            dv = self.HYBRID_VIEW_ROWS
+            views = jnp.asarray([self._sample_view() for _ in range(dv)],
+                                jnp.int32)
+            g.state, metrics = step(g.state, self.device_data, views, lrs,
+                                    noise_lr, self._next_key())
         else:
             V = statics.views_per_step
             idx = (jnp.asarray([self._sample_view() for _ in range(V)],
@@ -339,6 +347,16 @@ class FasterGSTrainer(Configurable):
                     make_mesh, make_view_parallel_train_step)
                 cache[key] = make_view_parallel_train_step(
                     make_mesh(n_dev), statics)
+            elif self.PARALLEL_MODE == 'hybrid':
+                from fastergs_tpu.parallel.gaussian_parallel import (
+                    make_hybrid_mesh, make_hybrid_parallel_train_step)
+                dv = self.HYBRID_VIEW_ROWS
+                if n_dev % dv:
+                    raise ValueError(f'{n_dev} devices not divisible by '
+                                     f'HYBRID_VIEW_ROWS={dv}')
+                cache[key] = make_hybrid_parallel_train_step(
+                    make_hybrid_mesh(dv, n_dev // dv),
+                    statics)(self.model.gaussians.state)
             else:
                 from fastergs_tpu.parallel.gaussian_parallel import (
                     make_gaussian_parallel_train_step, make_mesh)

@@ -60,19 +60,29 @@ def _band_for(device: jnp.ndarray, n_devices: int, grid_height: int):
     return lo, hi
 
 
-def make_gaussian_parallel_train_step(mesh: Mesh, statics: TrainStepStatics):
+def make_gaussian_parallel_train_step(mesh: Mesh, statics: TrainStepStatics,
+                                      view_axis: str | None = None):
     """Builds a jitted Gaussian-sharded train step.
 
     Call signature: step(state, data, view_idx (), lrs, noise_lr, key).
     `state` arrives SHARDED along the Gaussian axis (leading dim of every
-    per-Gaussian array divisible by the mesh size); `state.n_active` is the
-    GLOBAL active count (replicated).
+    per-Gaussian array divisible by the Gaussian mesh axis); `state.n_active`
+    is the GLOBAL active count (replicated).
+
+    view_axis: name of a SECOND mesh axis for the hybrid 2-D strategy
+    (built by `make_hybrid_parallel_train_step`): every view-row of the mesh
+    renders a different view with the same Gaussian sharding; parameter
+    gradients are additionally mean-reduced over the view axis before the
+    (replicated-across-views) Adam update — the multi-chip composition of
+    data_parallel x gaussian_parallel.
     """
-    n_devices = mesh.devices.size
+    n_devices = int(mesh.shape[AXIS])
 
     def _shard_body(state: ModelState, data: DeviceDataset,
                     view_idx: jnp.ndarray, lrs: dict,
                     noise_lr: jnp.ndarray, key: jax.Array):
+        if view_axis is not None:
+            view_idx = view_idx[0]  # (1,) shard of the (Dv,) index vector
         my = jax.lax.axis_index(AXIS)
         cap_local = state.params['means'].shape[0]
         # local rows own global ids [my*cap_local, (my+1)*cap_local)
@@ -82,6 +92,9 @@ def make_gaussian_parallel_train_step(mesh: Mesh, statics: TrainStepStatics):
         cam = camera_for_view(data, view_idx, statics)
         key_bg, key_noise = jax.random.split(key)
         if statics.use_random_background:
+            if view_axis is not None:  # one bg per view-row, agreed within it
+                key_bg = jax.random.fold_in(key_bg,
+                                            jax.lax.axis_index(view_axis))
             bg = jax.random.uniform(key_bg, (3,))
         else:
             bg = data.bg_color
@@ -150,6 +163,11 @@ def make_gaussian_parallel_train_step(mesh: Mesh, statics: TrainStepStatics):
                 g, my * cap_local, cap_local, axis=0),
             g_prims_full)
         (g_params,) = vjp_a(g_prims_local)
+        if view_axis is not None:
+            # mean across view-rows: the batched-optimization semantics of
+            # engine/train_step.py's views_per_step, distributed over ICI
+            g_params = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(g, view_axis), g_params)
 
         # ---- densification info (local shard rows) ----
         new_info = state.densification_info
@@ -158,8 +176,12 @@ def make_gaussian_parallel_train_step(mesh: Mesh, statics: TrainStepStatics):
                 [float(statics.width), float(statics.height)])[None, :]
             grad_norm = jnp.linalg.norm(ndc, axis=-1)
             visible = prims_local.visible
-            new_info = new_info.at[0].add(visible.astype(jnp.float32))
-            new_info = new_info.at[1].add(jnp.where(visible, grad_norm, 0.0))
+            upd = jnp.stack([visible.astype(jnp.float32),
+                             jnp.where(visible, grad_norm, 0.0)])
+            if view_axis is not None:
+                # per-view statistics accumulate across view-rows
+                upd = jax.lax.psum(upd, view_axis)
+            new_info = new_info + upd
 
         # ---- local fused Adam + post-step ----
         new_params, new_adam = adam_step(state.params, g_params, state.adam,
@@ -178,6 +200,9 @@ def make_gaussian_parallel_train_step(mesh: Mesh, statics: TrainStepStatics):
 
         metrics = dict(metrics)
         metrics['loss'] = loss_val
+        if view_axis is not None:
+            metrics = {k: jax.lax.pmean(v.astype(jnp.float32), view_axis)
+                       for k, v in metrics.items()}
         metrics['n_visible'] = jax.lax.psum(
             jnp.sum(prims_local.visible.astype(jnp.int32)), AXIS)
         # expansion totals are band-independent (masking happens post-count)
@@ -206,9 +231,10 @@ def make_gaussian_parallel_train_step(mesh: Mesh, statics: TrainStepStatics):
 
     def make(state_example: ModelState):
         spec = _spec_like(state_example)
+        idx_spec = repl if view_axis is None else P(view_axis)
         body = shard_map(
             _shard_body, mesh=mesh,
-            in_specs=(spec, repl, repl, repl, repl, repl),
+            in_specs=(spec, repl, idx_spec, repl, repl, repl),
             out_specs=(spec, repl),
             check_vma=False)
 
@@ -226,3 +252,29 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(devices, (AXIS,))
+
+
+# --------------------------------------------------------------------- #
+# hybrid 2-D strategy: views x gaussians
+# --------------------------------------------------------------------- #
+
+VIEW_AXIS = 'views'
+
+
+def make_hybrid_mesh(n_view_rows: int, n_gaussian_cols: int) -> Mesh:
+    import numpy as _np
+    devices = _np.asarray(
+        jax.devices()[:n_view_rows * n_gaussian_cols]).reshape(
+        n_view_rows, n_gaussian_cols)
+    return Mesh(devices, (VIEW_AXIS, AXIS))
+
+
+def make_hybrid_parallel_train_step(mesh: Mesh, statics: TrainStepStatics):
+    """2-D composition: each view-row of the mesh renders one view with the
+    Gaussian state sharded along the row; gradients mean-reduce across
+    view-rows (batched optimization, engine/train_step.py views_per_step
+    semantics) while per-Gaussian memory stays sharded. Call signature:
+    step(state, data, view_indices (Dv,), lrs, noise_lr, key).
+    """
+    return make_gaussian_parallel_train_step(mesh, statics,
+                                             view_axis=VIEW_AXIS)

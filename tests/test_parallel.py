@@ -169,3 +169,56 @@ def test_trainer_parallel_modes():
         assert np.isfinite(vals).all(), mode
         hist = [m['loss'] for _, m in trainer.metrics_history]
         assert hist[-1] < hist[0] * 1.5, (mode, hist)
+
+
+def test_hybrid_2d_matches_batched_single_chip():
+    """Hybrid (views x gaussians) mesh: with random bg and noise off, the
+    2x4 hybrid step must match the single-chip batched step
+    (views_per_step=2) on the same view pair to fp tolerance."""
+    from fastergs_tpu.parallel.gaussian_parallel import (
+        make_hybrid_mesh, make_hybrid_parallel_train_step)
+
+    data, model, statics, lrs = _setup()
+    statics_b = statics._replace(views_per_step=2)
+    views = jnp.asarray([1, 5], jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    state_a = jax.tree_util.tree_map(jnp.copy, model.gaussians.state)
+    single_state, single_metrics = train_step(
+        state_a, data, views, lrs, jnp.float32(0.0), key, statics_b)
+
+    mesh = make_hybrid_mesh(2, 4)
+    hy_step = make_hybrid_parallel_train_step(mesh, statics)(
+        model.gaussians.state)
+    state_b = jax.tree_util.tree_map(jnp.copy, model.gaussians.state)
+    hy_state, hy_metrics = hy_step(state_b, data, views, lrs,
+                                   jnp.float32(0.0), key)
+
+    for k in ('means', 'scales', 'opacities', 'sh_coefficients_0'):
+        a = np.asarray(single_state.params[k])
+        b = np.asarray(hy_state.params[k])
+        np.testing.assert_allclose(b, a, atol=2e-5,
+                                   err_msg=f'param mismatch: {k}')
+    assert abs(float(hy_metrics['loss']) - float(single_metrics['loss'])) < 1e-4
+    # densification info matches the batched accumulation (sum of 2 views)
+    np.testing.assert_allclose(
+        np.asarray(hy_state.densification_info),
+        np.asarray(single_state.densification_info), atol=1e-4)
+
+
+def test_hybrid_2d_training_improves():
+    from fastergs_tpu.parallel.gaussian_parallel import (
+        make_hybrid_mesh, make_hybrid_parallel_train_step)
+    data, model, statics, lrs = _setup()
+    mesh = make_hybrid_mesh(2, 4)
+    step = make_hybrid_parallel_train_step(mesh, statics)(
+        model.gaussians.state)
+    state = model.gaussians.state
+    key = jax.random.PRNGKey(4)
+    losses = []
+    for i in range(10):
+        key, sub = jax.random.split(key)
+        views = jnp.asarray([(2 * i) % 8, (2 * i + 1) % 8], jnp.int32)
+        state, metrics = step(state, data, views, lrs, jnp.float32(0.0), sub)
+        losses.append(float(metrics['loss']))
+    assert losses[-1] < losses[0]
