@@ -179,12 +179,45 @@ def _extract_at_lane(x, pos):
     return jnp.sum(jnp.where(_col() == pos, x, 0.0), axis=1, keepdims=True)
 
 
+class _FieldRows:
+    """Single-row slicing over separate per-row refs.
+
+    Mirrors `packed[(r, r+1)]` row access on a (16, C) block so the kernel
+    math is layout-agnostic: when the stream arrives as 10 separate sorted
+    columns (the sort outputs — see tiles.build_tile_instances_stream),
+    no (16, I) stack is ever materialized in HBM.
+    """
+
+    def __init__(self, rows):
+        self._rows = rows
+
+    def __getitem__(self, sl):
+        assert isinstance(sl, slice) and sl.stop == sl.start + 1, sl
+        return self._rows[sl.start]
+
+
+def _as_rows10(packed):
+    """Normalizes the stream input: a (16, I) array or a tuple/list of 10+
+    (I,) f32 columns -> list of 10 (1, I) arrays (rows 10-15 are padding
+    and never read by the kernels)."""
+    if isinstance(packed, (tuple, list)):
+        return [r.reshape(1, -1) for r in packed[:10]]
+    return [packed[r:r + 1] for r in range(10)]
+
+
+def _n_inst(packed):
+    if isinstance(packed, (tuple, list)):
+        return packed[0].shape[-1]
+    return packed.shape[1]
+
+
 # --------------------------------------------------------------------- #
 # forward
 # --------------------------------------------------------------------- #
 
-def _fwd_kernel(packed_blk, out_hbm, stage, state, smem, sems,
-                statics: BlendStatics, n_steps: int):
+def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int):
+    row_refs = refs[:10]
+    out_hbm, stage, state, smem, sems = refs[10:]
     """One grid step = SUBS sequential 128-instance sub-chunks of the
     tile-sorted stream.
 
@@ -247,7 +280,8 @@ def _fwd_kernel(packed_blk, out_hbm, stage, state, smem, sems,
         return head
 
     for sub in range(SUBS):
-        fields = packed_blk[:, sub * CHUNK:(sub + 1) * CHUNK]  # (16, C)
+        fields = _FieldRows(tuple(
+            r[0:1, sub * CHUNK:(sub + 1) * CHUNK] for r in row_refs))
         t_ids = fields[TILE_ROW:TILE_ROW + 1].astype(jnp.int32)
         cur0 = smem[0]
         done0 = smem[2]
@@ -356,20 +390,24 @@ def _fwd_kernel(packed_blk, out_hbm, stage, state, smem, sems,
 
 
 def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None):
-    """packed_t: (16, I) transposed struct-of-fields (row 9 = tile id).
+    """packed_t: (16, I) transposed struct-of-fields (row 9 = tile id) OR a
+    tuple of 10 (I,) f32 columns (rows 0-8 fields, 9 tile id) — the sort
+    outputs feed the kernel directly, no stacked layout in HBM.
     Returns (T, P, 4): channels 0-2 color accumulator, 3 transmittance."""
     n_tiles = statics.grid_width * statics.grid_height
     n_pix = statics.tile_width * statics.tile_height
-    n_inst = packed_t.shape[1]
+    rows10 = _as_rows10(packed_t)
+    n_inst = rows10[0].shape[1]
     assert n_inst % STEP == 0, 'instance capacity must be STEP-aligned'
     n_steps = n_inst // STEP
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    row_spec = pl.BlockSpec((1, STEP), lambda k: (0, k),
+                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_steps,),
-        in_specs=[pl.BlockSpec((FIELD_ROWS, STEP), lambda k: (0, k),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[row_spec] * 10,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((RING, 4, n_pix), jnp.float32),
@@ -384,17 +422,20 @@ def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None):
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(packed_t)
+    )(*rows10)
 
 
 # --------------------------------------------------------------------- #
 # backward
 # --------------------------------------------------------------------- #
 
-def _bwd_kernel(ft_ref, lt_ref, packed_blk, af0, af1, af2, af3,
-                al0, al1, al2, al3, aux_hbm,
-                g_blk, state, mid, smem, mid_sems,
-                statics: BlendStatics, score_cfg=None):
+def _bwd_kernel(ft_ref, lt_ref, *refs, statics: BlendStatics,
+                score_cfg=None):
+    row_refs = refs[:10]
+    af0, af1, af2, af3 = refs[10:14]
+    al0, al1, al2, al3 = refs[14:18]
+    aux_hbm = refs[18]
+    g_blk, state, mid, smem, mid_sems = refs[19:]
     """Backward chunk step.
 
     Per-tile quantities arrive through ONE XLA-built aux table (T, 8, P):
@@ -425,7 +466,7 @@ def _bwd_kernel(ft_ref, lt_ref, packed_blk, af0, af1, af2, af3,
     aux_fs = (af0, af1, af2, af3)
     aux_ls = (al0, al1, al2, al3)
     for sub in range(SUBS):
-        _bwd_subchunk(k, sub, ft_ref, lt_ref, packed_blk, aux_fs[sub],
+        _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_fs[sub],
                       aux_ls[sub], aux_hbm, g_blk, state, mid, smem, mid_sems,
                       statics, n_pix, n_tiles, thresh, guard_eps, score_cfg)
 
@@ -465,7 +506,7 @@ def _bwd_grad_rows(g_blk, sub, fields, basis, mxl, myl, alpha_eff, d_alpha,
          gcol_r, gcol_g, gcol_b, pad], axis=0)
 
 
-def _bwd_subchunk(k, sub, ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
+def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
                   g_blk, state, mid, smem, mid_sems, statics, n_pix, n_tiles,
                   thresh, guard_eps, score_cfg=None):
     """score_cfg=(width, height): Speedy-Splat scoring mode — the per-tile
@@ -473,7 +514,8 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, packed_blk, aux_f, aux_l, aux_hbm,
     color sum), and the output row is op^2 * sum_pixels(d_alpha^2) over
     real image pixels (kernels_pruning_scores.cuh:349-473) instead of the
     nine gradient rows."""
-    fields = packed_blk[:, sub * CHUNK:(sub + 1) * CHUNK]
+    fields = _FieldRows(tuple(
+        r[0:1, sub * CHUNK:(sub + 1) * CHUNK] for r in row_refs))
     t_ids = fields[TILE_ROW:TILE_ROW + 1].astype(jnp.int32)
     cur0 = smem[0]
     done0 = smem[1]
@@ -658,7 +700,8 @@ def blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
     """Returns per-instance gradient rows (16, I) in the stream layout
     (score_cfg=(width, height): row 0 = Speedy-Splat scores instead)."""
     n_pix = statics.tile_width * statics.tile_height
-    n_inst = packed_t.shape[1]
+    rows10 = _as_rows10(packed_t)
+    n_inst = rows10[0].shape[1]
     assert n_inst % STEP == 0, 'instance capacity must be STEP-aligned'
     n_steps = n_inst // STEP
     if interpret is None:
@@ -681,8 +724,8 @@ def blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
         num_scalar_prefetch=2,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((FIELD_ROWS, STEP), lambda k, ft, lt: (0, k),
-                         memory_space=pltpu.VMEM),             # packed
+            *[pl.BlockSpec((1, STEP), lambda k, ft, lt: (0, k),
+                           memory_space=pltpu.VMEM)] * 10,     # stream rows
             *[spec_f(s) for s in range(SUBS)],                 # aux @ firsts
             *[spec_l(s) for s in range(SUBS)],                 # aux @ lasts
             pl.BlockSpec(memory_space=pl.ANY),                 # aux (HBM)
@@ -702,7 +745,7 @@ def blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(first_tile, last_tile, packed_t,
+    )(first_tile, last_tile, *rows10,
       aux, aux, aux, aux, aux, aux, aux, aux, aux)
 
 
@@ -762,6 +805,11 @@ def _bwd(statics, residuals, cotangents):
         [jnp.swapaxes(g_acc, 1, 2), g_trans[:, None, :]], axis=1)  # (T, 4, P)
     g_packed = blend_stream_backward(packed_t, first_tile, last_tile,
                                      fin, g_fin, statics)
+    if isinstance(packed_t, (tuple, list)):
+        # match the tuple structure; rows >= 9 (tile id, padding) get zeros
+        g_packed = type(packed_t)(
+            g_packed[r] if r < 9 else jnp.zeros_like(g_packed[0])
+            for r in range(len(packed_t)))
     return g_packed, None, None
 
 

@@ -152,26 +152,20 @@ def update_pruning_scores(
         # streaming-kernel path (~35x the XLA sweep's speed on v5e)
         from fastergs_tpu.ops import blend_stream
         from fastergs_tpu.ops.blend import pack_blend_inputs
-        from fastergs_tpu.ops.tiles import build_tile_instances_compact
+        from fastergs_tpu.ops.tiles import build_tile_instances_stream
         instance_cap = (-(-instance_cap // blend_stream.STEP)
                         * blend_stream.STEP)
-        inst_c = build_tile_instances_compact(prims, gw, gh, instance_cap,
-                                              consts)
         pack9 = pack_blend_inputs(prims.mean2d, prims.conic, prims.opacity,
                                   prims.color)
-        pack_s = jnp.concatenate(
-            [pack9, jnp.zeros((1, pack9.shape[1]), pack9.dtype)], axis=0)
-        rows9 = pack_s[inst_c.gaussian_idx]
-        cap = rows9.shape[0]
-        packed_t = jnp.concatenate(
-            [rows9, inst_c.tile_idx.astype(jnp.float32)[:, None],
-             jnp.zeros((cap, blend_stream.FIELD_ROWS - 10), jnp.float32)],
-            axis=1).T
+        # fields ride the fill + sort (no post-sort gather) — same stream
+        # construction as the render path
+        inst_c, rows10 = build_tile_instances_stream(
+            prims, pack9, gw, gh, instance_cap, consts)
         c = blend_stream.CHUNK
         ft = jnp.minimum(inst_c.tile_idx[::c], gw * gh - 1)
         lt = jnp.minimum(inst_c.tile_idx[c - 1::c], gw * gh - 1)
         scores_inst = blend_stream.blend_stream_pruning_scores(
-            packed_t, ft, lt, statics, jnp.sum(settings.bg_color),
+            rows10, ft, lt, statics, jnp.sum(settings.bg_color),
             cam.width, cam.height)
         return scores.at[inst_c.gaussian_idx].add(scores_inst, mode='drop')
 

@@ -95,11 +95,11 @@ def render_from_primitives(
         # free) instead of a post-sort row gather (~12 ns/row latency-bound);
         # attach_stream_grad restores the pack9 gradient via the
         # deterministic per-Gaussian reduction
-        inst, packed_t = build_tile_instances_stream(
+        inst, rows10 = build_tile_instances_stream(
             sg_prims, jax.lax.stop_gradient(pack9), gw, gh, instance_cap,
             consts, tile_row_band=tile_row_band)
         n_instances, n_expanded = inst.n_instances, inst.n_expanded_instances
-        packed_t = attach_stream_grad(pack9, packed_t, inst.gaussian_idx)
+        packed_t = attach_stream_grad(pack9, rows10, inst.gaussian_idx)
         # per-chunk first/last tile ids drive the backward's block pipeline
         c = blend_stream.CHUNK
         ft = jnp.minimum(inst.tile_idx[::c], gw * gh - 1)

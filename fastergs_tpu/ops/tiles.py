@@ -304,10 +304,11 @@ def build_tile_instances_stream(
     restored by `attach_stream_grad`, whose VJP performs the deterministic
     per-Gaussian reduction (the analog of kernels_backward.cuh:459-470).
 
-    Returns (CompactTileInstances, packed_t): packed_t is the streaming
-    kernels' (16, I) f32 layout — rows 0-8 the blend fields (equal to
-    pack9_sg[gaussian_idx].T, zeros at sentinel slots), row 9 the tile id,
-    rows 10-15 zero padding — assembled in ONE pass from the sort outputs.
+    Returns (CompactTileInstances, rows10): rows10 is a tuple of 10 (I,)
+    f32 columns — 0-8 the blend fields (equal to pack9_sg[gaussian_idx].T
+    rows, zeros at sentinel slots), 9 the tile id — the sort outputs feed
+    the streaming kernels DIRECTLY (no stacked (16, I) layout ever
+    materializes in HBM).
     """
     n_gaussians = prims.rect.shape[0]
     fields_i32 = jax.lax.bitcast_convert_type(pack9_sg, jnp.int32)
@@ -339,45 +340,45 @@ def build_tile_instances_stream(
     if pad:
         ops = tuple(o[:instance_cap] for o in ops)
     sorted_tile, _, sorted_g = ops[0], ops[1], ops[2]
-    zero = jnp.zeros((instance_cap,), jnp.float32)
-    packed_t = jnp.stack(
-        [jax.lax.bitcast_convert_type(c, jnp.float32) for c in ops[3:]]
-        + [sorted_tile.astype(jnp.float32)] + [zero] * 6, axis=0)
+    rows10 = tuple(
+        jax.lax.bitcast_convert_type(c, jnp.float32) for c in ops[3:]
+    ) + (sorted_tile.astype(jnp.float32),)
     inst = CompactTileInstances(
         gaussian_idx=sorted_g,
         tile_idx=sorted_tile,
         n_instances=jnp.minimum(total, instance_cap).astype(jnp.int32),
         n_expanded_instances=total.astype(jnp.int32),
     )
-    return inst, packed_t
+    return inst, rows10
 
 
 @jax.custom_vjp
-def attach_stream_grad(pack9: jnp.ndarray, packed_t: jnp.ndarray,
-                       gaussian_idx: jnp.ndarray) -> jnp.ndarray:
-    """Passthrough of packed_t (rows 0-8 == pack9[gaussian_idx].T,
+def attach_stream_grad(pack9: jnp.ndarray, rows10,
+                       gaussian_idx: jnp.ndarray):
+    """Passthrough of rows10 (columns 0-8 == pack9[gaussian_idx].T rows,
     sentinel-zeroed) that restores differentiability w.r.t. pack9: the VJP
-    reduces the per-instance field cotangents (rows 0-8; the tile/pad rows
-    are non-differentiable) to per-Gaussian sums — the deterministic
+    reduces the per-instance field cotangents (columns 0-8; the tile
+    column is non-differentiable) to per-Gaussian sums — the deterministic
     segment reduction replacing the reference's atomic accumulation
     (kernels_backward.cuh:459-470)."""
     del pack9, gaussian_idx
-    return packed_t
+    return rows10
 
 
-def _attach_stream_grad_fwd(pack9, packed_t, gaussian_idx):
-    return packed_t, (pack9.shape[0], gaussian_idx)
+def _attach_stream_grad_fwd(pack9, rows10, gaussian_idx):
+    return rows10, (pack9.shape[0], gaussian_idx)
 
 
 def _attach_stream_grad_bwd(res, d_rows):
     import numpy as np
     n, gidx = res
     # deterministic per-Gaussian reduction: owner-sort (bandwidth-bound
-    # payload) + Pallas window segment-sum — ~2-3x faster than the XLA
+    # payload) + Pallas window segment-sum — ~2x faster than the XLA
     # scatter-add lowering (sort + serialized per-row updates)
     from fastergs_tpu.ops.segreduce import reduce_by_gaussian
     d_pack9 = reduce_by_gaussian(d_rows, gidx, n, n_data_rows=9).T
-    return (d_pack9, jnp.zeros_like(d_rows),
+    return (d_pack9,
+            jax.tree_util.tree_map(jnp.zeros_like, d_rows),
             np.zeros(gidx.shape, jax.dtypes.float0))
 
 

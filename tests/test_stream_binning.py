@@ -58,18 +58,17 @@ def test_stream_rows_bitwise_equal_gather(scene, cap):
                                             DEFAULT_CONSTANTS)
     pack_s = jnp.concatenate([pack9, jnp.zeros((1, 9))], 0)
     rows_old = pack_s[inst_old.gaussian_idx]
-    inst_new, packed_t = build_tile_instances_stream(
+    inst_new, rows10 = build_tile_instances_stream(
         sg, pack9, gw, gh, cap, DEFAULT_CONSTANTS)
     np.testing.assert_array_equal(np.asarray(inst_new.tile_idx),
                                   np.asarray(inst_old.tile_idx))
     np.testing.assert_array_equal(np.asarray(inst_new.gaussian_idx),
                                   np.asarray(inst_old.gaussian_idx))
-    np.testing.assert_array_equal(np.asarray(packed_t[:9]),
+    np.testing.assert_array_equal(np.stack([np.asarray(r) for r in rows10[:9]]),
                                   np.asarray(rows_old.T))
     np.testing.assert_array_equal(
-        np.asarray(packed_t[9]).astype(np.int32),
+        np.asarray(rows10[9]).astype(np.int32),
         np.asarray(inst_old.tile_idx))
-    assert not np.asarray(packed_t[10:]).any()
 
 
 def test_attach_stream_grad_matches_scatter_transpose(scene):
@@ -84,10 +83,10 @@ def test_attach_stream_grad_matches_scatter_transpose(scene):
         return jnp.sum(jnp.sin(ps[gidx]) * 0.3)
 
     def f_stream(p9):
-        _, pt = build_tile_instances_stream(
+        _, r10 = build_tile_instances_stream(
             sg, jax.lax.stop_gradient(p9), gw, gh, cap, DEFAULT_CONSTANTS)
-        pt = attach_stream_grad(p9, pt, gidx)
-        return jnp.sum(jnp.sin(pt[:9].T) * 0.3)
+        r10 = attach_stream_grad(p9, r10, gidx)
+        return jnp.sum(jnp.sin(jnp.stack(r10[:9], axis=1)) * 0.3)
 
     g_a = jax.grad(f_gather)(pack9)
     g_b = jax.grad(f_stream)(pack9)
