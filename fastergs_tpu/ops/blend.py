@@ -65,10 +65,20 @@ class BlendStatics(NamedTuple):
     # pruning-score pipeline blends RAW colors (kernels_pruning_scores.cuh:
     # 386,447)
     clamp_colors: bool = True
+    # image extent in pixels (0 = unknown). When set, the streaming kernels'
+    # per-tile done flag ignores pixels OUTSIDE the image: they can never
+    # receive alpha, so they would otherwise pin T at 1 and keep edge tiles
+    # from ever early-terminating (the reference terminates per-pixel and is
+    # unaffected, kernels_forward.cuh:452-455; out-of-image outputs here are
+    # discarded by tiles_to_image and carry zero cotangents).
+    image_width: int = 0
+    image_height: int = 0
 
     @classmethod
     def create(cls, grid_width: int, grid_height: int, chunk: int = 32,
-               consts: RasterizerConstants = DEFAULT_CONSTANTS) -> 'BlendStatics':
+               consts: RasterizerConstants = DEFAULT_CONSTANTS,
+               image_width: int = 0,
+               image_height: int = 0) -> 'BlendStatics':
         return cls(
             grid_width=grid_width,
             grid_height=grid_height,
@@ -79,6 +89,8 @@ class BlendStatics(NamedTuple):
             one_minus_alpha_eps=consts.one_minus_alpha_eps,
             tile_width=consts.tile_width,
             tile_height=consts.tile_height,
+            image_width=image_width,
+            image_height=image_height,
         )
 
 

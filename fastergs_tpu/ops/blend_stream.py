@@ -179,6 +179,28 @@ def _extract_at_lane(x, pos):
     return jnp.sum(jnp.where(_col() == pos, x, 0.0), axis=1, keepdims=True)
 
 
+def _live_trans_max(trans, tile, statics: BlendStatics):
+    """Max transmittance over the IN-IMAGE pixels of `tile` (traced scalar).
+
+    Drives the per-tile done flag. Pixels outside the image never receive
+    alpha, so without masking they pin T at 1 and edge tiles never
+    early-terminate; their outputs are discarded by tiles_to_image and their
+    cotangents are zero, so ignoring them is exact.
+    """
+    if not statics.image_width or not statics.image_height:
+        return jnp.max(trans)
+    tw, th = statics.tile_width, statics.tile_height
+    n_pix = tw * th
+    tx = jax.lax.rem(tile, statics.grid_width)
+    ty = jax.lax.div(tile, statics.grid_width)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (n_pix, 1), 0)
+    lx = jax.lax.rem(pix, tw)
+    ly = jax.lax.div(pix, tw)
+    inside = ((tx * tw + lx < statics.image_width)
+              & (ty * th + ly < statics.image_height))
+    return jnp.max(jnp.where(inside, trans, 0.0))
+
+
 class _FieldRows:
     """Single-row slicing over separate per-row refs.
 
@@ -370,7 +392,8 @@ def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int):
             state[:] = jnp.concatenate([new_acc, new_trans], axis=1)
             smem[0] = cur
             smem[1] = head
-            done = (jnp.max(new_trans) < thresh) | (cur >= n_tiles)
+            done = ((_live_trans_max(new_trans, cur, statics) < thresh)
+                    | (cur >= n_tiles))
             smem[2] = done.astype(jnp.int32)
 
     # ---- last step: flush the in-progress tile, trailing empties, DMAs ---
@@ -672,7 +695,8 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
              jnp.zeros((n_pix, 2), jnp.float32)], axis=1)
         cur = jnp.max(t_ids)                                   # last lane tile
         smem[0] = cur
-        done = (jnp.max(new_trans) < thresh) | (cur >= n_tiles)
+        done = ((_live_trans_max(new_trans, cur, statics) < thresh)
+                | (cur >= n_tiles))
         smem[1] = done.astype(jnp.int32)
 
 

@@ -144,7 +144,9 @@ def update_pruning_scores(
         active_mask=active_mask, active_sh_bases=settings.active_sh_bases,
         proper_antialiasing=settings.proper_antialiasing, consts=consts)
     gw, gh = grid_size(cam.width, cam.height, consts)
-    statics = BlendStatics.create(gw, gh, chunk, consts)
+    statics = BlendStatics.create(gw, gh, chunk, consts,
+                                  image_width=cam.width,
+                                  image_height=cam.height)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'

@@ -77,7 +77,9 @@ def render_from_primitives(
         use_pallas = jax.default_backend() == 'tpu'
     cam = settings.camera
     gw, gh = grid_size(cam.width, cam.height, consts)
-    statics = BlendStatics.create(gw, gh, chunk, consts)
+    statics = BlendStatics.create(gw, gh, chunk, consts,
+                                  image_width=cam.width,
+                                  image_height=cam.height)
     sg_prims = jax.tree_util.tree_map(jax.lax.stop_gradient, prims)
 
     # one differentiable packed gather: its transpose is the per-Gaussian

@@ -19,6 +19,33 @@ def device_memory_stats() -> dict:
     return {k: stats[k] for k in keys if k in stats}
 
 
+def analytic_train_footprint(state, data, instance_cap: int) -> int:
+    """Analytic resident-HBM estimate (bytes) for one training step when the
+    backend exposes no allocator stats (the tunneled TPU does not).
+
+    Counts the durable state (params + Adam moments + densification info +
+    filter), the on-device dataset, and the dominant transient rasterizer
+    streams: the 12-column binning sort (in+out), the (16, I) gradient
+    stream plus its owner-sorted copy, and the (T, 4, P) forward state
+    table. Lesser temporaries ride inside these envelopes.
+    """
+    import numpy as np
+
+    def tree_bytes(t):
+        return sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                   for x in jax.tree_util.tree_leaves(t) if hasattr(x, 'shape'))
+
+    durable = tree_bytes(state) + tree_bytes(data)
+    sort_stream = 2 * 12 * 4 * instance_cap          # in + out, 12 i32 cols
+    grad_stream = 2 * 16 * 4 * instance_cap          # (16, I) + sorted copy
+    fin_table = 0
+    if hasattr(data, 'rgb'):
+        h, w = data.rgb.shape[-2:]
+        n_tiles = -(-w // 16) * -(-h // 16)
+        fin_table = n_tiles * 4 * 256 * 4 * 2        # fin + aux table
+    return durable + sort_stream + grad_stream + fin_table
+
+
 def format_memory_stats() -> str:
     stats = device_memory_stats()
     if not stats:

@@ -96,6 +96,40 @@ def test_stream_opaque_early_termination():
 
 
 @pytest.mark.slow
+def test_stream_edge_tile_done_mask():
+    """Partial edge tiles + opaque full coverage: the done flag must ignore
+    out-of-image pixels (they never receive alpha and would otherwise pin
+    T at 1), and skipping trailing chunks must not change the image or the
+    gradients vs the XLA path."""
+    cam = make_camera(width=40, height=24)  # right/bottom tiles partial
+    scene = list(make_scene(n=300, seed=23, spread=0.4))
+    # large opaque splats -> every in-image pixel saturates early
+    scene[1] = jnp.full_like(scene[1], -1.2)   # raw log-scales
+    scene[3] = jnp.full_like(scene[3], 9.0)    # sigmoid ~ 0.9999
+    scene = tuple(scene)
+    _compare(scene, cam, cap=1 << 11)
+
+    settings = make_settings(cam)
+    key_pix = jnp.asarray(
+        np.random.default_rng(3).normal(0, 1, (3, 24, 40)), jnp.float32)
+
+    def loss(use_pallas):
+        def f(means):
+            img, _ = diff_rasterize(means, *scene[1:], settings,
+                                    instance_cap=1 << 11,
+                                    use_pallas=use_pallas)
+            return jnp.sum(img * key_pix)
+        return f
+
+    gx = jax.grad(loss(False))(scene[0])
+    gp = jax.grad(loss(True))(scene[0])
+    a, b = np.asarray(gp), np.asarray(gx)
+    d = np.abs(a - b)
+    ok = (d <= 2e-6) | (d <= 2e-4 * np.abs(b))
+    assert ok.mean() >= 0.96, f'{ok.mean()=}'
+
+
+@pytest.mark.slow
 def test_stream_tiny_cap_exact_chunks():
     """Instance count filling the capacity exactly (no sentinel tail)."""
     cam = make_camera(width=48, height=48)

@@ -45,13 +45,23 @@ def timeit(name, fn, *args):
 
 
 def rep(fn):
-    """Wraps fn into a jitted REPS-times loop with a data dependency."""
+    """Wraps fn into a jitted REPS-times loop with a data dependency.
+
+    EVERY output leaf is consumed by a full reduction — consuming only one
+    element lets XLA dead-code-eliminate the rest of the computation (e.g.
+    a 'train step' timing that silently drops the whole backward).
+    """
     def run(*args):
         def body(i, carry):
             acc, a = carry
             out = fn(*a)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            v = jnp.asarray(leaf, jnp.float32).ravel()[0]
+            v = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                if jnp.issubdtype(leaf.dtype, jnp.floating):
+                    v = v + jnp.sum(leaf.astype(jnp.float32))
+                else:
+                    v = v + jnp.sum(leaf).astype(jnp.float32)
+            v = 1e-12 * v  # tiny scale keeps acc (and the arg nudge) finite
             a0 = jax.tree_util.tree_map(
                 lambda x: x + (0.0 * v).astype(x.dtype)
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, a[0])
@@ -118,7 +128,9 @@ def main():
 
     timeit('expand+sort (compact binning)', rep(f_bin), prims)
     gidx, tidx, n_i = jax.jit(f_bin)(prims)
-    print(f'    n_instances={int(n_i)}  I={gidx.shape[0]}')
+    n_exp = int(jax.jit(lambda p: build_tile_instances_compact(
+        p, gw, gh, INSTANCE_CAP, consts).n_expanded_instances)(prims))
+    print(f'    n_instances={int(n_i)}  I={gidx.shape[0]}  demand={n_exp}')
 
     def f_pack(prims):
         return pack_blend_inputs(prims.mean2d, prims.conic, prims.opacity,
@@ -138,17 +150,15 @@ def main():
     timeit('gather rows + tile row + T (OLD)', rep(f_gather),
            pack9, gidx, tidx)
 
-    # the production path: fields ride the fill + sort; no gather
+    # the production path: fields ride the fill + sort; no gather.
+    # rows10 is a TUPLE of 10 sorted (I,) columns feeding the kernels
+    # directly (no stacked layout in HBM).
     def f_stream(prims, pack9):
-        inst, rows9_t = build_tile_instances_stream(
+        inst, rows10 = build_tile_instances_stream(
             prims, pack9, gw, gh, INSTANCE_CAP, consts)
-        packed_t = jnp.concatenate(
-            [rows9_t, inst.tile_idx.astype(jnp.float32)[None, :],
-             jnp.zeros((6, rows9_t.shape[1]), jnp.float32)], axis=0)
-        return packed_t, inst.tile_idx
+        return rows10, inst.tile_idx
 
-    timeit('stream build (fill+sort+payload+stack)', rep(f_stream),
-           prims, pack9)
+    timeit('stream build (fill+sort+payload)', rep(f_stream), prims, pack9)
     packed_t, _ = jax.jit(f_stream)(prims, pack9)
     c = blend_stream.CHUNK
     ft = jnp.minimum(tidx[::c], gw * gh - 1)
@@ -250,7 +260,9 @@ def main():
         new_state, metrics = train_step_impl(
             st, data, jnp.int32(0), {k: jnp.float32(1e-3) for k in st.params},
             jnp.float32(0.0), jax.random.PRNGKey(0), statics)
-        return metrics['loss']
+        # return everything: consuming only the loss lets XLA DCE the
+        # entire backward + optimizer
+        return new_state.params, new_state.adam.mu, metrics['loss']
 
     timeit('FULL train step', rep(f_full), state)
 
