@@ -116,9 +116,9 @@ def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
     (one scatter total — XLA scatters carry a large fixed cost on TPU).
 
     extra_cols: optional (N, K) i32 per-Gaussian payload broadcast to the
-    slots through the same exact telescoping fill (cumsum of modular deltas
-    reproduces any bitpattern exactly, so f32 fields can ride bitcast);
-    `extra` is the (cap, K) filled payload (None if extra_cols is None).
+    slots through the same exact fill (both fill paths reproduce raw
+    bitpatterns exactly, so f32 fields can ride bitcast); `extra` is a list
+    of K filled (cap,) payload columns (None if extra_cols is None).
     """
     n_tiles = grid_width * grid_height
     counts = prims.n_touched  # (N,) exact (or conservative) counts, 0 if culled
@@ -129,10 +129,10 @@ def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
     has = counts > 0
 
     # per-instance integer fields via segment fill (no gathers). Small
-    # fields ride PACKED words — the delta-scatter cost scales with column
-    # count, and packing is safe because the scatter+cumsum telescopes
-    # exactly (modular i32 arithmetic): every partial sum equals a real
-    # packed row (or 0), never a torn intermediate.
+    # fields ride PACKED words — the fill cost scales with column count,
+    # and packing is safe because both fill paths reproduce rows exactly
+    # (the Pallas kernel copies them; the scatter+cumsum fallback
+    # telescopes exactly in modular i32 arithmetic).
     rect = prims.rect
     n = counts.shape[0]
     x0_c = rect[:, 0]
@@ -141,37 +141,59 @@ def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
     geom = x0_c | (w_c << 10) | (y0_c << 20)          # 10b | 10b | 10b
     ownex = (jnp.arange(n, dtype=jnp.int32)
              | (prims.exact.astype(jnp.int32) << 30))  # owner 30b | exact 1b
-    columns = jnp.stack([
+    col_list = [
         starts,                                       # 0: segment start
         geom,                                         # 1: x0 | width | y0
         float32_ordered_bits(prims.depth),            # 2: depth sort key
         prims.tile_mask[:, 0],                        # 3: mask lo
         prims.tile_mask[:, 1],                        # 4: mask hi
         ownex,                                        # 5: owner | exact
-    ], axis=1)
+    ]
+    n_extra = 0
     if extra_cols is not None:
-        columns = jnp.concatenate([columns, extra_cols], axis=1)
-    filled = _segment_fill_int(columns, has, starts, instance_cap)
-    extra = filled[:, 6:] if extra_cols is not None else None
-    own = filled[:, 5] & 0x3FFFFFFF
-    exact = filled[:, 5] >> 30
+        n_extra = extra_cols.shape[1]
+        col_list += [extra_cols[:, c] for c in range(n_extra)]
+
+    from fastergs_tpu.ops.fill import (ROWS as FILL_ROWS,
+                                       can_use_fill_kernel, segment_fill_rows)
+    # the Pallas fill kernel beats the delta-scatter+cumsum lowering ~5x on
+    # TPU; the fallback keeps odd capacities and big pure-CPU (oracle)
+    # paths on the XLA formulation (the kernel in interpret mode is for
+    # small-cap test coverage)
+    use_kernel = (len(col_list) <= FILL_ROWS
+                  and can_use_fill_kernel(n, instance_cap)
+                  and (jax.default_backend() == 'tpu'
+                       or instance_cap <= (1 << 14)))
+    if use_kernel:
+        pad = [jnp.zeros((n,), jnp.int32)] * (FILL_ROWS - len(col_list))
+        rows_t = jnp.stack(col_list + pad, axis=0)
+        filled_t = segment_fill_rows(rows_t, starts, instance_cap)
+        fcol = [filled_t[c] for c in range(len(col_list))]
+    else:
+        filled = _segment_fill_int(jnp.stack(col_list, axis=1), has, starts,
+                                   instance_cap)
+        fcol = [filled[:, c] for c in range(len(col_list))]
+
+    extra = fcol[6:] if extra_cols is not None else None
+    own = fcol[5] & 0x3FFFFFFF
+    exact = fcol[5] >> 30
 
     slot = jnp.arange(instance_cap, dtype=jnp.int32)
     in_range = slot < total
-    local = slot - filled[:, 0]
+    local = slot - fcol[0]
     # j-th contributing tile: select the j-th set mask bit (exact Gaussians)
     # or enumerate the rect directly (conservative fallback)
     pos = jnp.where(exact > 0,
-                    _select_bit(filled[:, 3], filled[:, 4], local),
+                    _select_bit(fcol[3], fcol[4], local),
                     local)
-    g_x0 = filled[:, 1] & 1023
-    g_w = (filled[:, 1] >> 10) & 1023
-    g_y0 = filled[:, 1] >> 20
+    g_x0 = fcol[1] & 1023
+    g_w = (fcol[1] >> 10) & 1023
+    g_y0 = fcol[1] >> 20
     tile_x = g_x0 + pos % g_w
     tile_y = g_y0 + pos // g_w
 
     tile_key = jnp.where(in_range, tile_y * grid_width + tile_x, n_tiles)
-    return tile_key.astype(jnp.int32), filled[:, 2], own, total, extra
+    return tile_key.astype(jnp.int32), fcol[2], own, total, extra
 
 
 def _apply_tile_row_band(tile_key, grid_width, n_tiles, tile_row_band):
@@ -321,7 +343,7 @@ def build_tile_instances_stream(
     live = (slot < total) & (tile_key < n_tiles)
     own = jnp.where(live, own, n_gaussians)
     # sentinel slots must blend to nothing: zero fields (alpha == 0, inert)
-    extra = jnp.where(live[:, None], extra, 0)
+    extra = [jnp.where(live, c, 0) for c in extra]
 
     # XLA's TPU variadic sort compiles in seconds at power-of-two lengths
     # but takes MINUTES for many-operand sorts at other lengths (measured:
@@ -330,7 +352,7 @@ def build_tile_instances_stream(
     # unaffected since sentinels sort to the tail.
     sort_len = 1 << (instance_cap - 1).bit_length()
     pad = sort_len - instance_cap
-    ops_in = [tile_key, depth_key, own] + [extra[:, c] for c in range(9)]
+    ops_in = [tile_key, depth_key, own] + list(extra)
     if pad:
         pad_vals = [n_tiles, 0, n_gaussians] + [0] * 9
         ops_in = [jnp.concatenate(
