@@ -25,11 +25,12 @@ ASSUMED_RTX_BASELINE_ITERS_PER_SEC = 90.0
 
 # garden @ 1/4 resolution (fastergs_garden.yaml:106-107)
 WIDTH, HEIGHT = 1297, 840
-N_GAUSSIANS = 160_000   # sized so instance demand (~1.0M) fits the cap with
-                        # NO truncation: the exact-precision kNN init gives
+N_GAUSSIANS = 150_000   # sized so instance demand fits the cap with NO
+                        # truncation: the exact-precision kNN init gives
                         # ~6.3 touched tiles per Gaussian at this resolution
-                        # (round 1 ran 250k Gaussians at the same ~1M
-                        # instances — its bf16 kNN under-scaled the splats)
+                        # (160k measured ~1.05M > 2^20 — the tail was being
+                        # silently dropped; train_demand in the JSON guards
+                        # this)
 INSTANCE_CAP = 1 << 20  # power of two (fast wide-sort compile); the trainer
                         # grows caps in power-of-two steps the same way
 CHUNK = 32
@@ -102,6 +103,11 @@ def bench_training(data, model):
     return TRAIN_STEPS / dt, metrics
 
 
+RENDER_CAP = 1 << 21    # the 1080p view of this scene demands ~2.0M
+                        # instances (measured); an undersized cap silently
+                        # drops the overflow and fakes the FPS number
+
+
 def bench_render_fps(model):
     from fastergs_tpu.ops.projection import CameraParams
     from fastergs_tpu.ops.rasterize import RasterizerSettings, diff_rasterize
@@ -127,18 +133,24 @@ def bench_render_fps(model):
         def body(i, carry):
             acc, a = carry
             img, _ = diff_rasterize(*a, settings,
-                                    instance_cap=INSTANCE_CAP, chunk=64)
+                                    instance_cap=RENDER_CAP, chunk=64)
             v = img[0, 0, 0]
             return acc + v, (a[0] + 0.0 * v,) + a[1:]
         out, _ = jax.lax.fori_loop(0, n_frames, body,
                                    (jnp.float32(0.0), args))
         return out
 
+    # instance demand of this view: must fit RENDER_CAP or the FPS number
+    # is rendering a silently truncated scene
+    _, aux = jax.jit(lambda a: diff_rasterize(
+        *a, settings, instance_cap=RENDER_CAP, chunk=64))(args)
+    demand = int(aux.n_rect_instances)
+
     float(render_many(args, 1))  # compile
     t0 = time.perf_counter()
     float(render_many(args, FPS_FRAMES))
     dt = time.perf_counter() - t0
-    return FPS_FRAMES / dt
+    return FPS_FRAMES / dt, demand
 
 
 def main():
@@ -147,7 +159,7 @@ def main():
     dataset, data, model = build_workload()
     # train on the full ground-truth-sized model for a garden-scale workload
     its, metrics = bench_training(data, model)
-    fps = bench_render_fps(model)
+    fps, render_demand = bench_render_fps(model)
     from fastergs_tpu.utils.memory import device_memory_stats
     hbm = device_memory_stats()
     result = {
@@ -159,9 +171,17 @@ def main():
         'n_gaussians': N_GAUSSIANS,
         'image': f'{WIDTH}x{HEIGHT}',
         'n_instances': int(metrics['n_instances']),
+        'train_demand': int(metrics['n_rect_instances']),
+        'train_cap': INSTANCE_CAP,
+        'render_demand': render_demand,
+        'render_cap': RENDER_CAP,
         'loss': float(metrics['loss']),
         'device': str(jax.devices()[0]),
     }
+    if int(metrics['n_rect_instances']) > INSTANCE_CAP:
+        result['train_overflow'] = True
+    if render_demand > RENDER_CAP:
+        result['render_overflow'] = True
     if 'peak_bytes_in_use' in hbm:  # BASELINE config #4: HBM footprint
         result['hbm_peak_gib'] = round(hbm['peak_bytes_in_use'] / (1 << 30), 3)
     if 'bytes_in_use' in hbm:

@@ -332,23 +332,26 @@ def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int):
             used = t_before >= thresh
             w = jnp.where(used, t_before * alpha_eff, 0.0)
             if statics.clamp_colors:                           # clamp fwd:415
-                wc_r = w * jnp.maximum(fields[6:7], 0.0)
-                wc_g = w * jnp.maximum(fields[7:8], 0.0)
-                wc_b = w * jnp.maximum(fields[8:9], 0.0)
+                c3 = jnp.concatenate([jnp.maximum(fields[6:7], 0.0),
+                                      jnp.maximum(fields[7:8], 0.0),
+                                      jnp.maximum(fields[8:9], 0.0)], axis=0)
             else:                                              # pruning: raw
-                wc_r = w * fields[6:7]
-                wc_g = w * fields[7:8]
-                wc_b = w * fields[8:9]
+                c3 = jnp.concatenate([fields[6:7], fields[7:8],
+                                      fields[8:9]], axis=0)    # (3, C)
             t_after = t_before * one_minus
             frozen_cand = jnp.where(t_before < thresh, t_before, -1.0)
 
             def seg_acc(mask):
-                """(1, C) lane mask → (P, 3) color sums over those lanes."""
-                return jnp.concatenate([
-                    jnp.sum(jnp.where(mask, wc_r, 0.0), axis=1, keepdims=True),
-                    jnp.sum(jnp.where(mask, wc_g, 0.0), axis=1, keepdims=True),
-                    jnp.sum(jnp.where(mask, wc_b, 0.0), axis=1, keepdims=True),
-                ], axis=1)
+                """(1, C) lane mask → (P, 3) color sums over those lanes.
+
+                One MXU matmul (contract lanes against the color rows)
+                replaces three per-channel multiplies + masked reductions
+                over the full (P, C) tile."""
+                wm = jnp.where(mask, w, 0.0)
+                return jax.lax.dot_general(
+                    wm, c3, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
 
             def seg_final_t(mask, end_pos, empty):
                 """Final transmittance of a segment ending at lane end_pos."""
@@ -485,6 +488,10 @@ def _bwd_kernel(ft_ref, lt_ref, *refs, statics: BlendStatics,
         smem[0] = -1
         smem[1] = 0
         state[:] = jnp.zeros((n_pix, 4), jnp.float32)
+        # the middle-segment patches ACCUMULATE masked expansions of `mid`;
+        # uninitialized VMEM may hold NaN bitpatterns and 0·NaN = NaN, so
+        # zero it before the first (possibly skipped) fetch
+        mid[:] = jnp.zeros((8, n_pix), jnp.float32)
 
     aux_fs = (af0, af1, af2, af3)
     aux_ls = (al0, al1, al2, al3)
@@ -495,13 +502,13 @@ def _bwd_kernel(ft_ref, lt_ref, *refs, statics: BlendStatics,
 
 
 def _bwd_grad_rows(g_blk, sub, fields, basis, mxl, myl, alpha_eff, d_alpha,
-                   op, w, ga_r_vec, ga_g_vec, ga_b_vec,
-                   craw_r, craw_g, craw_b, psum):
+                   op, gcol_r, gcol_g, gcol_b, craw_r, craw_g, craw_b):
     """Writes the nine per-instance gradient rows for one sub-chunk.
 
     Helper-field moments against the tile-local basis: all five second-
     moment reductions (dL/d{conic, mean2d}) in ONE matmul (the per-pixel
-    dx/dy tensors never materialize)."""
+    dx/dy tensors never materialize). gcol_*: (1, C) per-instance color
+    cotangent rows (Σ_p w·ga), already reduced on the MXU by the caller."""
     helper = -alpha_eff * d_alpha
     mom = jax.lax.dot_general(basis, helper,
                               (((0,), (0,)), ((), ())),
@@ -520,9 +527,9 @@ def _bwd_grad_rows(g_blk, sub, fields, basis, mxl, myl, alpha_eff, d_alpha,
     gm_y = cb * hdx + cc * hdy
     # Σ gauss·dα == -Σ h / opacity (h vanishes wherever alpha_eff does)
     g_op = -m0 / jnp.maximum(op, 1e-20)
-    gcol_r = psum(w * ga_r_vec) * (craw_r >= 0.0)
-    gcol_g = psum(w * ga_g_vec) * (craw_g >= 0.0)
-    gcol_b = psum(w * ga_b_vec) * (craw_b >= 0.0)
+    gcol_r = gcol_r * (craw_r >= 0.0)                      # clamp bwd:314-318
+    gcol_g = gcol_g * (craw_g >= 0.0)
+    gcol_b = gcol_b * (craw_b >= 0.0)
     pad = jnp.zeros((FIELD_ROWS - 9, CHUNK), jnp.float32)
     g_blk[:, sub * CHUNK:(sub + 1) * CHUNK] = jnp.concatenate(
         [gm_x, gm_y, gc_a, gc_b, gc_c, g_op,
@@ -559,67 +566,23 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
         ft = ft_ref[SUBS * k + sub]
         lt = lt_ref[SUBS * k + sub]
 
-        def tile_vecs(aux_cp):
-            """(8, P) aux block → (ga (P,3), r0 (P,1), common (P,1))."""
-            return aux_cp[0:3, :].T, aux_cp[3:4, :].T, aux_cp[4:5, :].T
-
-        ga_f, r0_f, common_f = tile_vecs(aux_f[0])
-        ga_l, r0_l, common_l = tile_vecs(aux_l[0])
+        aux_f0 = aux_f[0]                                      # (8, P)
+        aux_l0 = aux_l[0]
 
         m_f = t_ids == ft                                      # (1, C)
-        m_l = t_ids == lt
+        # exclude the first-keyed tile so rank-6 expansions never double-
+        # count a single-tile chunk (ft == lt)
+        m_l = (t_ids == lt) & (lt != ft)
         m_c = t_ids == cur0
 
-        def lane_select(v_f, v_l):
-            """Per-lane (P, C) from the two resident per-tile (P, 1)s."""
-            return jnp.where(m_f, v_f, jnp.where(m_l, v_l, 0.0))
+        def outer(rows_kp, cols_kc):
+            """(K, P) × (K, C) → (P, C) rank-K expansion on the MXU."""
+            return jax.lax.dot_general(
+                rows_kp, cols_kc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
-        ga_r_vec = lane_select(ga_f[:, 0:1], ga_l[:, 0:1])
-        ga_g_vec = lane_select(ga_f[:, 1:2], ga_l[:, 1:2])
-        ga_b_vec = lane_select(ga_f[:, 2:3], ga_l[:, 2:3])
-        common_vec = lane_select(common_f, common_l)
-        r0_vec = lane_select(r0_f, r0_l)
-
-        # ---- rare middle segments: tiles strictly inside the chunk ----
-        # (a tile both starting AND ending within this chunk, other than the
-        # first/last-keyed resident blocks — fetched synchronously from HBM)
-        first_bound = jnp.sum((bmask & (col == 0)).astype(jnp.int32))
-        n_segs = n_bound + 1 - first_bound
-        has_middle = n_segs > 2
-
-        def apply_middles(vecs):
-            def body2(s):
-                i, search_from, gr, gg, gb, cm, r0v = s
-                pos = jnp.min(jnp.where(bmask & (col >= search_from), col,
-                                        CHUNK))
-                tn = jnp.max(jnp.where(col == pos, t_ids, -1))
-                is_mid = (tn != ft) & (tn != lt) & (tn < n_tiles)
-
-                @pl.when(is_mid)
-                def _():
-                    tc = jnp.minimum(tn, n_tiles - 1)
-                    cp = pltpu.make_async_copy(aux_hbm.at[tc], mid, mid_sems)
-                    cp.start()
-                    cp.wait()
-
-                ga_m, r0_m, common_m = tile_vecs(mid[:])
-                mm = (t_ids == tn) & is_mid
-                gr = jnp.where(mm, ga_m[:, 0:1], gr)
-                gg = jnp.where(mm, ga_m[:, 1:2], gg)
-                gb = jnp.where(mm, ga_m[:, 2:3], gb)
-                cm = jnp.where(mm, common_m, cm)
-                r0v = jnp.where(mm, r0_m, r0v)
-                return i + 1, pos + 1, gr, gg, gb, cm, r0v
-
-            s0 = (jnp.int32(0), jnp.int32(0)) + vecs
-            out = jax.lax.while_loop(
-                lambda s: (s[0] < n_bound) & has_middle, body2, s0)
-            return out[2:]
-
-        ga_r_vec, ga_g_vec, ga_b_vec, common_vec, r0_vec = apply_middles(
-            (ga_r_vec, ga_g_vec, ga_b_vec, common_vec, r0_vec))
-
-        # ---- vectorized gradient math over the whole chunk ----
+        # ---- vectorized blend recomputation over the whole chunk ----
         basis = _basis(n_pix, statics.tile_width, statics.tile_height)
         coeffs, mxl, myl = _power_coeffs(fields, t_ids, statics)
         power = _mm(basis, coeffs)                             # (P, C)
@@ -631,7 +594,6 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
         excl = jnp.exp(_seg_cumsum_mxu(logs, seg0, exclusive=True))
         state_v = state[:]
         t_base = jnp.where(m_c, state_v[:, 1:2], 1.0)
-        r_base = jnp.where(m_c, state_v[:, 0:1], r0_vec)
         t_before = t_base * excl
         used = t_before >= thresh
         w = jnp.where(used, t_before * alpha_eff, 0.0)
@@ -643,12 +605,90 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
             cl_b = jnp.maximum(craw_b, 0.0)
         else:                                  # pruning scores: raw colors
             cl_r, cl_g, cl_b = craw_r, craw_g, craw_b
-        cg = cl_r * ga_r_vec + cl_g * ga_g_vec + cl_b * ga_b_vec
+
+        # Per-lane tile vectors as rank-6 MXU expansions over the two
+        # resident aux blocks — replaces five (P, C) where-chains plus the
+        # per-channel cg/gcol products/reductions with three matmuls:
+        #   cg[p, c]  = Σ_ch cl_ch[c]·ga_ch[tile(c), p]   (color cotangent)
+        #   cv[p, c]  = common[tile(c), p] − r0[tile(c), p]
+        #   W6[k, c]  = Σ_p w[p, c]·ga_k[p]               (gcol rows)
+        ga6 = jnp.concatenate([aux_f0[0:3], aux_l0[0:3]], axis=0)   # (6, P)
+        cl6 = jnp.concatenate(
+            [jnp.where(m, cl, 0.0) for m in (m_f, m_l)
+             for cl in (cl_r, cl_g, cl_b)], axis=0)                 # (6, C)
+        cg = outer(ga6, cl6)                                        # (P, C)
+        cv2 = jnp.concatenate([aux_f0[4:5] - aux_f0[3:4],
+                               aux_l0[4:5] - aux_l0[3:4]], axis=0)  # (2, P)
+        m2 = jnp.concatenate([m_f, m_l], axis=0).astype(jnp.float32)
+        cv_rb = outer(cv2, m2)                    # common − r0, per lane
+        w6 = jax.lax.dot_general(ga6, w, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+
+        # ---- rare middle segments: tiles strictly inside the chunk ----
+        # (a tile both starting AND ending within this chunk, other than
+        # the first/last-keyed resident blocks — fetched synchronously from
+        # HBM and ACCUMULATED through the same expansions; masked rows keep
+        # every term zero when is_mid is false)
+        first_bound = jnp.sum((bmask & (col == 0)).astype(jnp.int32))
+        n_segs = n_bound + 1 - first_bound
+        has_middle = n_segs > 2
+
+        def body2(s):
+            i, search_from, cg, cv_rb, w3 = s
+            pos = jnp.min(jnp.where(bmask & (col >= search_from), col,
+                                    CHUNK))
+            tn = jnp.max(jnp.where(col == pos, t_ids, -1))
+            is_mid = (tn != ft) & (tn != lt) & (tn < n_tiles)
+
+            @pl.when(is_mid)
+            def _():
+                tc = jnp.minimum(tn, n_tiles - 1)
+                cp = pltpu.make_async_copy(aux_hbm.at[tc], mid, mid_sems)
+                cp.start()
+                cp.wait()
+
+            mm = (t_ids == tn) & is_mid
+            mmf = mm.astype(jnp.float32)
+            mid_v = mid[:]
+            ga_m = mid_v[0:3]                                  # (3, P)
+            cl3m = jnp.concatenate(
+                [jnp.where(mm, cl, 0.0) for cl in (cl_r, cl_g, cl_b)],
+                axis=0)
+            cg = cg + outer(ga_m, cl3m)
+            cv_rb = cv_rb + outer(mid_v[4:5] - mid_v[3:4], mmf)
+            wm = jnp.where(mm, w, 0.0)
+            w3 = w3 + jax.lax.dot_general(
+                ga_m, wm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            return i + 1, pos + 1, cg, cv_rb, w3
+
+        # materialized zero (0·matmul-result): a splat-layout while carry
+        # trips Mosaic (see PLAN.md round-2 finding 4)
+        s0 = (jnp.int32(0), jnp.int32(0), cg, cv_rb, 0.0 * w6[0:3])
+        out = jax.lax.while_loop(
+            lambda s: (s[0] < n_bound) & has_middle, body2, s0)
+        cg, cv_rb, w3_mid = out[2], out[3], out[4]
+
+        # gcol rows: select the owning tile's Σ_p w·ga row per lane
+        gcol_r = (jnp.where(m_f, w6[0:1], 0.0)
+                  + jnp.where(m_l, w6[3:4], 0.0) + w3_mid[0:1])
+        gcol_g = (jnp.where(m_f, w6[1:2], 0.0)
+                  + jnp.where(m_l, w6[4:5], 0.0) + w3_mid[1:2])
+        gcol_b = (jnp.where(m_f, w6[2:3], 0.0)
+                  + jnp.where(m_l, w6[5:6], 0.0) + w3_mid[2:3])
+
+        # in-progress-tile lanes: common − r_base uses the CARRIED r, not r0
+        common_f_col = aux_f0[4:5].T                           # (P, 1)
+        cv_rb = jnp.where(m_c, common_f_col - state_v[:, 0:1], cv_rb)
+
         u = w * cg
         u_csum = _seg_cumsum_mxu(u, seg0, exclusive=False)
-        r_after = r_base - u_csum
         guard = 1.0 / jnp.maximum(one_minus, guard_eps)
-        d_alpha = t_before * cg + (common_vec - r_after) * guard
+        # common − (r_base − u_csum), reassociated as (common − r_base) +
+        # u_csum so r_base never materializes per lane
+        d_alpha = t_before * cg + (cv_rb + u_csum) * guard
         # sentinel-tile lanes (t_ids == n_tiles) can carry REAL fields when
         # an upstream band filter masked their tile (tile_row_band) — their
         # gradient must not leak into this device's reduction
@@ -679,9 +719,9 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
                 (FIELD_ROWS - 1, CHUNK), jnp.float32)
         else:
             _bwd_grad_rows(g_blk, sub, fields, basis, mxl, myl,
-                           alpha_eff, d_alpha, op, w,
-                           ga_r_vec, ga_g_vec, ga_b_vec,
-                           craw_r, craw_g, craw_b, psum)
+                           alpha_eff, d_alpha, op,
+                           gcol_r, gcol_g, gcol_b,
+                           craw_r, craw_g, craw_b)
 
         # ---- carry update for the trailing segment ----
         ls = jnp.max(jnp.where(bmask, col, 0))                 # last seg start
@@ -690,10 +730,17 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
         fr = jnp.max(jnp.where(tail & (t_before < thresh), t_before, -1.0),
                      axis=1, keepdims=True)
         new_trans = jnp.where(fr >= 0.0, fr, t_after[:, CHUNK - 1:CHUNK])
-        state[:] = jnp.concatenate(
-            [r_after[:, CHUNK - 1:CHUNK], new_trans,
-             jnp.zeros((n_pix, 2), jnp.float32)], axis=1)
+        # trailing r carry = r_base(last tile) − u_csum at the last lane;
+        # the last tile's r0 sits in the last-keyed aux block (lanes of a
+        # sentinel tail only ever feed more sentinels, so the clamped
+        # aux_l0 row is safe there)
         cur = jnp.max(t_ids)                                   # last lane tile
+        r_base_last = jnp.where(cur == cur0, state_v[:, 0:1],
+                                aux_l0[3:4].T)                 # (P, 1)
+        r_last = r_base_last - u_csum[:, CHUNK - 1:CHUNK]
+        state[:] = jnp.concatenate(
+            [r_last, new_trans,
+             jnp.zeros((n_pix, 2), jnp.float32)], axis=1)
         smem[0] = cur
         done = ((_live_trans_max(new_trans, cur, statics) < thresh)
                 | (cur >= n_tiles))

@@ -79,17 +79,23 @@ def test_mosaic_blend_matches_xla_forward_and_backward():
     tgt = jnp.asarray(
         np.random.default_rng(1).random(np.asarray(img_x).shape, np.float32))
 
-    def loss(pr, use_pallas):
+    names = ('mean2d', 'conic', 'opacity', 'color')
+
+    def loss(fields, use_pallas):
+        # differentiate only the real-valued blend fields: prims also
+        # carries bool/int culling state that jax.grad rejects
+        pr = prims._replace(**dict(zip(names, fields)))
         img, _ = render_from_primitives(
             pr, settings, cap, chunk=32, consts=DEFAULT_CONSTANTS,
             use_pallas=use_pallas)
         return jnp.mean(jnp.abs(img - tgt))
 
-    g_p = jax.jit(jax.grad(lambda pr: loss(pr, True)))(prims)
-    g_x = jax.jit(jax.grad(lambda pr: loss(pr, False)))(prims)
-    for name in ('mean2d', 'conic', 'opacity', 'color'):
-        a = np.asarray(getattr(g_p, name))
-        b = np.asarray(getattr(g_x, name))
+    fields0 = tuple(getattr(prims, n) for n in names)
+    g_p = jax.jit(jax.grad(lambda f: loss(f, True)))(fields0)
+    g_x = jax.jit(jax.grad(lambda f: loss(f, False)))(fields0)
+    for name, a, b in zip(names, g_p, g_x):
+        a = np.asarray(a)
+        b = np.asarray(b)
         scale = max(np.abs(b).max(), 1e-8)
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-3, rtol=0,
                                    err_msg=f'grad mismatch in {name}')
