@@ -527,9 +527,9 @@ def _bwd_grad_rows(g_blk, sub, fields, basis, mxl, myl, alpha_eff, d_alpha,
     gm_y = cb * hdx + cc * hdy
     # Σ gauss·dα == -Σ h / opacity (h vanishes wherever alpha_eff does)
     g_op = -m0 / jnp.maximum(op, 1e-20)
-    gcol_r = gcol_r * (craw_r >= 0.0)                      # clamp bwd:314-318
-    gcol_g = gcol_g * (craw_g >= 0.0)
-    gcol_b = gcol_b * (craw_b >= 0.0)
+    gcol_r = jnp.where(craw_r >= 0.0, gcol_r, 0.0)         # clamp bwd:314-318
+    gcol_g = jnp.where(craw_g >= 0.0, gcol_g, 0.0)
+    gcol_b = jnp.where(craw_b >= 0.0, gcol_b, 0.0)
     pad = jnp.zeros((FIELD_ROWS - 9, CHUNK), jnp.float32)
     g_blk[:, sub * CHUNK:(sub + 1) * CHUNK] = jnp.concatenate(
         [gm_x, gm_y, gc_a, gc_b, gc_c, g_op,
@@ -619,7 +619,10 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
         cg = outer(ga6, cl6)                                        # (P, C)
         cv2 = jnp.concatenate([aux_f0[4:5] - aux_f0[3:4],
                                aux_l0[4:5] - aux_l0[3:4]], axis=0)  # (2, P)
-        m2 = jnp.concatenate([m_f, m_l], axis=0).astype(jnp.float32)
+        # build the f32 mask rows via select, NOT .astype: Mosaic rejects
+        # bool-vector casts (bitcast_vreg i1 -> i32) — the round-2 regression
+        m2 = jnp.concatenate([jnp.where(m_f, 1.0, 0.0),
+                              jnp.where(m_l, 1.0, 0.0)], axis=0)
         cv_rb = outer(cv2, m2)                    # common − r0, per lane
         w6 = jax.lax.dot_general(ga6, w, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
@@ -649,7 +652,7 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
                 cp.wait()
 
             mm = (t_ids == tn) & is_mid
-            mmf = mm.astype(jnp.float32)
+            mmf = jnp.where(mm, 1.0, 0.0)      # no i1-vector cast (Mosaic)
             mid_v = mid[:]
             ga_m = mid_v[0:3]                                  # (3, P)
             cl3m = jnp.concatenate(
