@@ -153,35 +153,80 @@ def bench_render_fps(model):
     return FPS_FRAMES / dt, demand
 
 
+def algorithmic_flops_per_step(n_gaussians, n_instances, width, height):
+    """Honest (hardware-agnostic) work estimate for one training step.
+
+    Counts the ALGORITHM's useful flops — the work the reference's CUDA
+    kernels do — not the MXU reformulation's actual flops (which trade
+    extra flops for lane parallelism). Per blended instance: ~30 flops
+    per covered pixel forward + ~2x backward over a 16x16 tile; per
+    Gaussian: ~2k projection/SH flops fwd + ~2x bwd; per pixel: ~220
+    flops of L1+SSIM loss (11-tap separable blurs, fwd+bwd) + Adam over
+    ~60 params/Gaussian.
+    """
+    blend = n_instances * 256 * (30 + 60)
+    prep = n_gaussians * (2_000 + 4_000)
+    loss = width * height * 220
+    adam = n_gaussians * 60 * 12
+    return blend + prep + loss + adam
+
+
+TPU_V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, one v5e chip
+
+
 def main():
     from fastergs_tpu.utils.compilation_cache import enable_persistent_cache
     enable_persistent_cache()
     dataset, data, model = build_workload()
-    # train on the full ground-truth-sized model for a garden-scale workload
-    its, metrics = bench_training(data, model)
-    fps, render_demand = bench_render_fps(model)
+    # isolated sections: a crash in one must not lose the other's number
+    its = metrics = None
+    train_err = render_err = None
+    try:
+        # train on the full ground-truth-sized model (garden-scale workload)
+        its, metrics = bench_training(data, model)
+    except Exception as e:  # noqa: BLE001 - report, keep benching
+        train_err = f'{type(e).__name__}: {e}'[:400]
+    try:
+        fps, render_demand = bench_render_fps(model)
+    except Exception as e:  # noqa: BLE001
+        fps, render_demand = None, None
+        render_err = f'{type(e).__name__}: {e}'[:400]
     from fastergs_tpu.utils.memory import device_memory_stats
     hbm = device_memory_stats()
     result = {
         'metric': 'train_iters_per_sec_garden_scale',
-        'value': round(its, 2),
+        'value': round(its, 2) if its else 0.0,
         'unit': 'it/s',
-        'vs_baseline': round(its / ASSUMED_RTX_BASELINE_ITERS_PER_SEC, 3),
-        'render_fps_1080p': round(fps, 2),
+        # normalization is against an ASSUMED 90 it/s RTX-class figure
+        # (see module docstring) — the reference publishes no tables
+        'vs_baseline': round(its / ASSUMED_RTX_BASELINE_ITERS_PER_SEC, 3)
+        if its else 0.0,
+        'baseline_assumed_its': ASSUMED_RTX_BASELINE_ITERS_PER_SEC,
+        'render_fps_1080p': round(fps, 2) if fps else 0.0,
         'n_gaussians': N_GAUSSIANS,
         'image': f'{WIDTH}x{HEIGHT}',
-        'n_instances': int(metrics['n_instances']),
-        'train_demand': int(metrics['n_rect_instances']),
-        'train_cap': INSTANCE_CAP,
-        'render_demand': render_demand,
-        'render_cap': RENDER_CAP,
-        'loss': float(metrics['loss']),
         'device': str(jax.devices()[0]),
     }
-    if int(metrics['n_rect_instances']) > INSTANCE_CAP:
-        result['train_overflow'] = True
-    if render_demand > RENDER_CAP:
-        result['render_overflow'] = True
+    if train_err:
+        result['train_error'] = train_err
+    if render_err:
+        result['render_error'] = render_err
+    if metrics is not None:
+        result.update(
+            n_instances=int(metrics['n_instances']),
+            train_demand=int(metrics['n_rect_instances']),
+            train_cap=INSTANCE_CAP,
+            loss=float(metrics['loss']))
+        flops = algorithmic_flops_per_step(
+            N_GAUSSIANS, min(int(metrics['n_rect_instances']), INSTANCE_CAP),
+            WIDTH, HEIGHT)
+        result['mfu_estimate'] = round(its * flops / TPU_V5E_PEAK_FLOPS, 4)
+        if int(metrics['n_rect_instances']) > INSTANCE_CAP:
+            result['train_overflow'] = True
+    if render_demand is not None:
+        result.update(render_demand=render_demand, render_cap=RENDER_CAP)
+        if render_demand > RENDER_CAP:
+            result['render_overflow'] = True
     if 'peak_bytes_in_use' in hbm:  # BASELINE config #4: HBM footprint
         result['hbm_peak_gib'] = round(hbm['peak_bytes_in_use'] / (1 << 30), 3)
     if 'bytes_in_use' in hbm:

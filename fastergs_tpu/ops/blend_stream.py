@@ -1,8 +1,9 @@
 """Chunk-major streaming Pallas blend kernels (forward + backward).
 
-Second-generation TPU blend design, replacing the per-tile kernels in
-ops/blend_pallas.py on the hot path. The per-tile design required every
-tile's instance range to start at a 128-aligned slot, which forced ~30%
+Second-generation TPU blend design (the first-generation per-tile
+kernels were removed; see git history of ops/blend_pallas.py). The
+per-tile design required every tile's instance range to start at a
+128-aligned slot, which forced ~30%
 dummy padding slots through the sort/gather/scatter stages plus an XLA
 histogram scatter (~15 ms) to size the padding. This kernel instead walks
 the tile-sorted instance stream in fixed 128-instance chunks:
@@ -26,7 +27,7 @@ dummies, and NO searchsorted ranges — just the expansion and one
 lexicographic sort over the compact instance capacity (ops/tiles.py
 build_tile_instances_compact).
 
-Semantics are identical to ops/blend_pallas.py / ops/blend.py (reference:
+Semantics are identical to the XLA path in ops/blend.py (reference:
 kernels_forward.cuh:363-475, kernels_backward.cuh:260-471): original or
 revised opacity thresholding, sticky frozen transmittance at the early-
 termination crossing, straight-through color clamp, background handled by

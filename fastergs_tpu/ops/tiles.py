@@ -407,108 +407,3 @@ def _attach_stream_grad_bwd(res, d_rows):
 attach_stream_grad.defvjp(_attach_stream_grad_fwd, _attach_stream_grad_bwd)
 
 
-class PaddedTileInstances(NamedTuple):
-    """Instance layout with every tile range aligned to a chunk boundary.
-
-    Mosaic requires lane-aligned HBM DMA slices, so the Pallas blend kernels
-    (ops/blend_pallas.py) consume this layout: each tile's instances start at
-    a multiple of `align`; the padding slots point at a sentinel Gaussian row
-    whose zero fields blend to nothing. A side benefit: tiles' chunked
-    gradient writebacks never touch another tile's slots.
-    """
-    gaussian_idx: jnp.ndarray    # (I_pad,) i32; sentinel = n_gaussians
-    tile_start: jnp.ndarray      # (T,) i32, multiples of align
-    tile_end: jnp.ndarray        # (T,) i32 (start + true length)
-
-
-def build_tile_instances_padded(
-    prims: Primitives2D,
-    grid_width: int,
-    grid_height: int,
-    instance_cap: int,
-    align: int,
-    consts: RasterizerConstants = DEFAULT_CONSTANTS,
-) -> tuple['PaddedTileInstances', jnp.ndarray, jnp.ndarray]:
-    """Expands + sorts instances DIRECTLY into the aligned padded layout.
-
-    Trick: per-tile counts are known before the sort (a histogram over the
-    unsorted tile keys), so we append `aligned(count) - count` dummy slots
-    per tile with (tile, +inf depth) keys and a sentinel owner — after ONE
-    lexicographic sort the array is exactly the chunk-aligned layout the
-    Pallas kernels want, and the ranges are a prefix sum. No post-sort
-    re-layout pass at all.
-
-    Returns (PaddedTileInstances, n_instances, n_expanded) — the padded
-    gaussian_idx has length instance_cap + align * n_tiles.
-    """
-    n_tiles = grid_width * grid_height
-    n_gaussians = prims.rect.shape[0]
-    tile_key, depth_key, own, total, _ = _expand_instances(
-        prims, grid_width, grid_height, instance_cap)
-    # sentinel owner outside the valid range → gathers hit the zero row and
-    # the backward's unwritten slots reduce into a discarded sentinel slot
-    slot = jnp.arange(instance_cap, dtype=jnp.int32)
-    own = jnp.where(slot < total, own, n_gaussians)
-
-    # per-tile real counts (histogram over unsorted keys)
-    counts_t = jnp.zeros(n_tiles + 1, jnp.int32).at[tile_key].add(
-        1, mode='drop')
-    c = counts_t[:n_tiles]
-    aligned = ((c + align - 1) // align) * align
-    pad_needed = aligned - c
-
-    # dummy slots: pad_needed[t] entries per tile, same expansion machinery
-    n_dummy = align * n_tiles
-    d_off = jnp.cumsum(pad_needed)
-    d_total = d_off[-1]
-    d_starts = jnp.where(pad_needed > 0, d_off - pad_needed, n_dummy)
-    d_own0 = jnp.zeros(n_dummy, jnp.int32).at[d_starts.astype(jnp.int32)].max(
-        jnp.arange(n_tiles, dtype=jnp.int32), mode='drop',
-        unique_indices=True, indices_are_sorted=True)
-    d_tile = jax.lax.cummax(d_own0)
-    d_slot = jnp.arange(n_dummy, dtype=jnp.int32)
-    d_tile = jnp.where(d_slot < d_total, d_tile, n_tiles)
-
-    all_tile = jnp.concatenate([tile_key, d_tile])
-    all_depth = jnp.concatenate(
-        [depth_key, jnp.full(n_dummy, jnp.int32(0x7FFFFFFF))])
-    all_own = jnp.concatenate(
-        [own, jnp.full(n_dummy, n_gaussians, jnp.int32)])
-    _, _, sorted_g = jax.lax.sort((all_tile, all_depth, all_own),
-                                  num_keys=2, is_stable=False)
-
-    tile_start = (jnp.cumsum(aligned) - aligned).astype(jnp.int32)
-    inst = PaddedTileInstances(
-        gaussian_idx=sorted_g,
-        tile_start=tile_start,
-        tile_end=(tile_start + c).astype(jnp.int32),
-    )
-    return inst, jnp.sum(c).astype(jnp.int32), total.astype(jnp.int32)
-
-
-def pad_tile_ranges(inst: TileInstances, n_gaussians: int,
-                    padded_cap: int, align: int) -> PaddedTileInstances:
-    """Re-lays sorted instances so each tile starts at an aligned slot.
-
-    (Legacy path — build_tile_instances_padded produces the layout in one
-    sort; kept for tests and incremental use.)
-    """
-    lens = (inst.tile_end - inst.tile_start).astype(jnp.int32)
-    aligned = ((lens + align - 1) // align) * align
-    pad_start = (jnp.cumsum(aligned) - aligned).astype(jnp.int32)
-
-    # per-PADDED-slot fills over the aligned regions (segments at pad_start)
-    cols = jnp.stack([inst.tile_start - pad_start,  # orig-slot offset
-                      pad_start,                    # region start
-                      lens], axis=1)
-    filled = _segment_fill_int(cols, lens > 0, pad_start, padded_cap)
-    slot = jnp.arange(padded_cap, dtype=jnp.int32)
-    local = slot - filled[:, 1]
-    valid = local < filled[:, 2]
-    orig = jnp.clip(slot + filled[:, 0], 0, inst.gaussian_idx.shape[0] - 1)
-    padded_gidx = jnp.where(valid, inst.gaussian_idx[orig], n_gaussians)
-    return PaddedTileInstances(
-        gaussian_idx=padded_gidx,
-        tile_start=pad_start,
-        tile_end=(pad_start + lens).astype(jnp.int32),
-    )

@@ -1,6 +1,7 @@
 """Edge cases for the chunk-major streaming blend kernels (interpret mode).
 
 The main fwd/bwd parity check vs the XLA blend runs in test_blend_pallas.py
+(which drives the production diff_rasterize path)
 (diff_rasterize with use_pallas=True now routes through ops/blend_stream.py).
 Here: boundary conditions the stream design is sensitive to — empty tiles,
 early termination, the sentinel tail, and tiles ending exactly at chunk

@@ -106,14 +106,6 @@ def test_segment_reduce_rows_oracle():
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
 
-def test_pallas_cumsum_columns_exact():
-    from fastergs_tpu.ops.scan import cumsum_columns
-    rng = np.random.default_rng(3)
-    a = rng.integers(-(1 << 28), 1 << 28, (4096, 15)).astype(np.int32)
-    out = np.asarray(cumsum_columns(jnp.asarray(a), interpret=True))
-    np.testing.assert_array_equal(out, np.cumsum(a, axis=0, dtype=np.int32))
-
-
 def test_reduce_by_gaussian_non_pow2():
     from fastergs_tpu.ops.segreduce import reduce_by_gaussian
     rng = np.random.default_rng(5)

@@ -1,8 +1,9 @@
 """Stage-level timing of the INFERENCE render path at 1080p on the real TPU.
 
-Mirrors the bench.py render-FPS workload (160k Gaussians, 1920x1080) and
-times each forward stage as its own jitted dispatch, so the inference
-fast-path work targets the true bottlenecks.
+Mirrors the bench.py render-FPS workload (150k Gaussians, 1920x1080,
+2^21 instance cap — keep these in sync with bench.py N_GAUSSIANS /
+RENDER_CAP) and times each forward stage as its own jitted dispatch, so
+the inference fast-path work targets the true bottlenecks.
 
 Usage: python tools/profile_render.py [n_gaussians]
 """
@@ -22,8 +23,10 @@ from fastergs_tpu.utils.compilation_cache import enable_persistent_cache
 enable_persistent_cache()
 
 W, H = 1920, 1080
-N_GAUSSIANS = int(sys.argv[1]) if len(sys.argv) > 1 else 160_000
-INSTANCE_CAP = 1 << 20
+N_GAUSSIANS = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+INSTANCE_CAP = 1 << 21   # matches bench.py RENDER_CAP: the 1080p view of
+                         # this scene demands ~2.0M instances; an undersized
+                         # cap silently truncates the profiled workload
 REPS = 10
 
 
@@ -118,6 +121,9 @@ def main():
     rows10, tidx, n_exp = jax.jit(f_stream)(prims, pack9)
     print(f'    tiles={gw}x{gh}={gw * gh}  demand={int(n_exp)}  '
           f'cap={INSTANCE_CAP}')
+    if int(n_exp) > INSTANCE_CAP:
+        print(f'    *** WARNING: demand {int(n_exp)} exceeds the cap — '
+              f'timings below profile a TRUNCATED workload ***')
 
     def f_blend_fwd(rows10):
         return blend_stream.blend_stream_forward(rows10, bstat)

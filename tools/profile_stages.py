@@ -210,13 +210,6 @@ def main():
     rows_t9 = jnp.ones((9, gidx.shape[0]), jnp.float32)
     timeit('owner-sort + pallas segreduce', rep(f_segreduce), rows_t9, gidx)
 
-    # fill internals: XLA cumsum vs the pallas scan
-    from fastergs_tpu.ops.scan import cumsum_columns
-    arr15 = jnp.ones((INSTANCE_CAP, 15), jnp.int32)
-    timeit('fill cumsum: XLA (cap,15)', rep(lambda a: jnp.cumsum(a, axis=0)),
-           arr15)
-    timeit('fill cumsum: pallas scan', rep(cumsum_columns), arr15)
-
     # image loss fwd+bwd
     target = data.rgb[0]
     settings = RasterizerSettings(camera=cam, bg_color=data.bg_color,
