@@ -50,6 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fastergs_tpu.ops.blend import BlendStatics
 
+# Mosaic supports only DEFAULT (1-pass bf16) and HIGHEST (6-pass f32-exact)
+# dot precision; bf16 is too coarse for the transmittance cumsums and the
+# gradient parity contract, so every kernel matmul runs HIGHEST
+_PREC = jax.lax.Precision.HIGHEST
+
 CHUNK = 128        # instances per lane scan (lanes)
 SUBS = 4           # 128-lane sub-chunks processed per grid step: amortizes
                    # the fixed per-grid-step cost (DMA orchestration, grid
@@ -99,7 +104,7 @@ def _seg_cumsum_mxu(x, seg0, exclusive):
     """
     full = jax.lax.dot_general(x, _tri(), (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=_PREC)
     idx = jnp.maximum(seg0 - 1, 0)
     prev = jnp.take_along_axis(full, jnp.broadcast_to(idx, x.shape), axis=1)
     prev = jnp.where(seg0 > 0, prev, 0.0)
@@ -161,7 +166,7 @@ def _power_coeffs(fields, t_ids, statics: BlendStatics):
 def _mm(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=_PREC)
 
 
 def _alpha_eff_from_power(power, op, statics: BlendStatics):
@@ -352,7 +357,7 @@ def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int):
                 return jax.lax.dot_general(
                     wm, c3, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_PREC)
 
             def seg_final_t(mask, end_pos, empty):
                 """Final transmittance of a segment ending at lane end_pos."""
@@ -459,10 +464,10 @@ def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None):
 def _bwd_kernel(ft_ref, lt_ref, *refs, statics: BlendStatics,
                 score_cfg=None):
     row_refs = refs[:10]
-    af0, af1, af2, af3 = refs[10:14]
-    al0, al1, al2, al3 = refs[14:18]
-    aux_hbm = refs[18]
-    g_blk, state, mid, smem, mid_sems = refs[19:]
+    aux_fs = refs[10:10 + SUBS]
+    aux_ls = refs[10 + SUBS:10 + 2 * SUBS]
+    aux_hbm = refs[10 + 2 * SUBS]
+    g_blk, state, mid, smem, mid_sems = refs[11 + 2 * SUBS:]
     """Backward chunk step.
 
     Per-tile quantities arrive through ONE XLA-built aux table (T, 8, P):
@@ -494,8 +499,6 @@ def _bwd_kernel(ft_ref, lt_ref, *refs, statics: BlendStatics,
         # zero it before the first (possibly skipped) fetch
         mid[:] = jnp.zeros((8, n_pix), jnp.float32)
 
-    aux_fs = (af0, af1, af2, af3)
-    aux_ls = (al0, al1, al2, al3)
     for sub in range(SUBS):
         _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_fs[sub],
                       aux_ls[sub], aux_hbm, g_blk, state, mid, smem, mid_sems,
@@ -514,7 +517,7 @@ def _bwd_grad_rows(g_blk, sub, fields, basis, mxl, myl, alpha_eff, d_alpha,
     mom = jax.lax.dot_general(basis, helper,
                               (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=_PREC)
     m_lx2, m_lx = mom[0:1], mom[1:2]                       # Σh·lx², Σh·lx
     m_ly2, m_ly = mom[2:3], mom[3:4]
     m_lxy, m0 = mom[4:5], mom[5:6]
@@ -581,7 +584,7 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
             return jax.lax.dot_general(
                 rows_kp, cols_kc, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=_PREC)
 
         # ---- vectorized blend recomputation over the whole chunk ----
         basis = _basis(n_pix, statics.tile_width, statics.tile_height)
@@ -627,7 +630,7 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
         cv_rb = outer(cv2, m2)                    # common − r0, per lane
         w6 = jax.lax.dot_general(ga6, w, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 precision=_PREC)
 
         # ---- rare middle segments: tiles strictly inside the chunk ----
         # (a tile both starting AND ending within this chunk, other than
@@ -665,7 +668,7 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
             w3 = w3 + jax.lax.dot_general(
                 ga_m, wm, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=_PREC)
             return i + 1, pos + 1, cg, cv_rb, w3
 
         # materialized zero (0·matmul-result): a splat-layout while carry
@@ -820,8 +823,7 @@ def blend_stream_backward(packed_t, first_tile, last_tile, fin, g_fin,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(first_tile, last_tile, *rows10,
-      aux, aux, aux, aux, aux, aux, aux, aux, aux)
+    )(first_tile, last_tile, *rows10, *([aux] * (2 * SUBS + 1)))
 
 
 def blend_stream_pruning_scores(packed_t, first_tile, last_tile,
