@@ -12,6 +12,43 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def _dry_run(config_path: str) -> None:
+    """Validates config + dataset layout without loading images or
+    compiling anything — the pre-flight check of the garden parity runbook
+    (README.md: Garden parity procedure)."""
+    from fastergs_tpu.config import load_yaml_config
+    from fastergs_tpu.utils.logging import log_info
+
+    cfg = load_yaml_config(config_path)
+    d = cfg.resolve('DATASET') if hasattr(cfg, 'DATASET') else None
+    dataset_type = (getattr(cfg.GLOBAL, 'DATASET_TYPE', 'MipNeRF360')
+                    if hasattr(cfg, 'GLOBAL') else 'MipNeRF360')
+    log_info(f'config OK: {config_path} (dataset type {dataset_type})')
+    if dataset_type.lower() == 'synthetic':
+        log_info('synthetic dataset: nothing on disk to validate')
+        return
+    path = getattr(d, 'PATH', None) if d is not None else None
+    if not path:
+        raise SystemExit('DATASET.PATH is not set in the config')
+    if dataset_type.lower() in ('blender', 'nerfsynthetic', 'nerf_synthetic'):
+        import os.path as osp
+        ok = osp.exists(osp.join(path, 'transforms_train.json'))
+        if not ok:
+            raise SystemExit(f'no transforms_train.json under {path}')
+        log_info(f'blender layout OK: {path}')
+        return
+    from fastergs_tpu.data.colmap import validate_colmap_layout
+    rep = validate_colmap_layout(
+        path, getattr(d, 'IMAGE_SCALE_FACTOR', 1.0) or 1.0)
+    log_info('COLMAP layout OK: '
+             f"{rep['n_views']} views ({rep['format']}, "
+             f"camera {rep['camera_model']}, full res "
+             f"{rep['full_res'][0]}x{rep['full_res'][1]}"
+             f"{', pre-scaled images' if rep['pre_scaled'] else ''}), "
+             f"{rep['n_points']:,} sparse points; images from "
+             f"{rep['images_dir']}")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description='Train a FasterGS-TPU model')
     parser.add_argument('-c', '--config', required=True)
@@ -19,7 +56,15 @@ def main() -> None:
                         help='write final model checkpoint (.npz)')
     parser.add_argument('--ply-out', default=None,
                         help='write final model as .ply')
+    parser.add_argument('--dry-run', action='store_true',
+                        help='validate the dataset directory layout (COLMAP '
+                             'sparse model + image files) and the config, '
+                             'then exit without training')
     args = parser.parse_args()
+
+    if args.dry_run:
+        _dry_run(args.config)
+        return
 
     from fastergs_tpu.cli.common import build_from_config
     from fastergs_tpu.models.ply import write_ply

@@ -163,6 +163,75 @@ def _load_image(path: str, scale_factor: float):
     return rgb, alpha
 
 
+def validate_colmap_layout(path: str, image_scale_factor: float = 1.0):
+    """Dry-run validation of a COLMAP capture directory (no image decode).
+
+    Checks the standard MipNeRF360 layout (<path>/sparse[/0]/{cameras,
+    images, points3D}.{bin,txt} + <path>/images[_N]/), parses the sparse
+    model headers, and cross-checks that every registered image file exists.
+    Returns a report dict; raises DatasetError with an actionable message on
+    the first structural problem. Used by `cli.train --dry-run` so a garden
+    parity run can be validated before committing to a full training job.
+    """
+    from fastergs_tpu.utils.errors import DatasetError
+
+    if not os.path.isdir(path):
+        raise DatasetError(f'dataset path does not exist: {path}')
+    sparse = os.path.join(path, 'sparse', '0')
+    if not os.path.isdir(sparse):
+        sparse = os.path.join(path, 'sparse')
+    if not os.path.isdir(sparse):
+        raise DatasetError(
+            f'no sparse/0/ or sparse/ model under {path} — expected the '
+            'standard COLMAP export (cameras/images/points3D as .bin or .txt)')
+    is_bin = os.path.exists(os.path.join(sparse, 'cameras.bin'))
+    ext = '.bin' if is_bin else '.txt'
+    for stem in ('cameras', 'images', 'points3D'):
+        f = os.path.join(sparse, stem + ext)
+        if not os.path.exists(f):
+            raise DatasetError(f'missing {f}')
+    if is_bin:
+        cameras = read_cameras_bin(os.path.join(sparse, 'cameras.bin'))
+        images = read_images_bin(os.path.join(sparse, 'images.bin'))
+        xyz, _ = read_points3d_bin(os.path.join(sparse, 'points3D.bin'))
+    else:
+        cameras = read_cameras_txt(os.path.join(sparse, 'cameras.txt'))
+        images = read_images_txt(os.path.join(sparse, 'images.txt'))
+        xyz, _ = read_points3d_txt(os.path.join(sparse, 'points3D.txt'))
+    if not images:
+        raise DatasetError(f'sparse model at {sparse} registers no images')
+    if xyz.shape[0] == 0:
+        raise DatasetError(f'sparse model at {sparse} has no 3D points')
+    for info in images.values():
+        if info['camera_id'] not in cameras:
+            raise DatasetError(
+                f"image '{info['name']}' references unknown camera id "
+                f"{info['camera_id']}")
+
+    factor = round(1.0 / image_scale_factor) if image_scale_factor else 1
+    candidate = os.path.join(path, f'images_{factor}')
+    pre_scaled = factor > 1 and os.path.isdir(candidate)
+    images_dir = candidate if pre_scaled else os.path.join(path, 'images')
+    if not os.path.isdir(images_dir):
+        raise DatasetError(
+            f'no images directory: expected {images_dir}'
+            + (f' or {candidate}' if factor > 1 and not pre_scaled else ''))
+    missing = [info['name'] for info in images.values()
+               if not os.path.exists(os.path.join(images_dir, info['name']))]
+    if missing:
+        raise DatasetError(
+            f'{len(missing)} registered image(s) missing from {images_dir}, '
+            f'first: {missing[0]}')
+    cam0 = cameras[next(iter(cameras))]
+    return {
+        'sparse_dir': sparse, 'format': ext[1:], 'images_dir': images_dir,
+        'pre_scaled': pre_scaled, 'n_views': len(images),
+        'n_points': int(xyz.shape[0]), 'n_cameras': len(cameras),
+        'camera_model': cam0.get('model', '?'),
+        'full_res': (cam0['width'], cam0['height']),
+    }
+
+
 def load_colmap_dataset(
     path: str,
     image_scale_factor: float = 1.0,

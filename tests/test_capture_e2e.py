@@ -124,6 +124,35 @@ def test_load_capture_from_disk(capture):
     assert ds.point_cloud is not None and len(ds.point_cloud[0]) > 100
 
 
+def test_dry_run_layout_validation(capture, tmp_path):
+    """validate_colmap_layout (cli.train --dry-run): accepts the real
+    capture, pinpoints structural problems without decoding images."""
+    from fastergs_tpu.data.colmap import validate_colmap_layout
+    from fastergs_tpu.utils.errors import DatasetError
+
+    root, views, _ = capture
+    rep = validate_colmap_layout(str(root))
+    assert rep['n_views'] == len(views)
+    assert rep['n_points'] > 100
+    assert rep['format'] == 'bin' and not rep['pre_scaled']
+
+    with pytest.raises(DatasetError, match='does not exist'):
+        validate_colmap_layout(str(tmp_path / 'nope'))
+    bad = tmp_path / 'bad'
+    (bad / 'sparse' / '0').mkdir(parents=True)
+    with pytest.raises(DatasetError, match='missing'):
+        validate_colmap_layout(str(bad))
+
+    # registered image file missing from images/
+    import shutil
+    broken = tmp_path / 'broken'
+    shutil.copytree(root, broken)
+    victim = next((broken / 'images').iterdir())
+    victim.unlink()
+    with pytest.raises(DatasetError, match='missing from'):
+        validate_colmap_layout(str(broken))
+
+
 def test_image_scale_factor(capture):
     root, views, _ = capture
     ds = load_colmap_dataset(str(root), image_scale_factor=0.5, test_step=5)
