@@ -367,13 +367,15 @@ class FasterGSTrainer(Configurable):
     def _flush_metrics(self) -> None:
         if not self._pending_metrics:
             return
-        # pull only the most recent metrics to the host (keeps the device
-        # queue deep; the reference pulls loss every iteration)
-        it, m = self._pending_metrics[-1]
-        host = {k: float(v) for k, v in m.items()}
-        self._instance_watermark = max(self._instance_watermark,
-                                       int(host['n_rect_instances']))
-        self.metrics_history.append((it, host))
+        # host pulls happen only here, LOG_INTERVAL-batched (keeps the device
+        # queue deep; the reference pulls loss every iteration, Loss.py:19) —
+        # but EVERY pending window is kept, so loss/PSNR-vs-iteration curves
+        # reconstruct at full LOG_INTERVAL granularity from metrics_history
+        for it, m in self._pending_metrics:
+            host = {k: float(v) for k, v in m.items()}
+            self._instance_watermark = max(self._instance_watermark,
+                                           int(host['n_rect_instances']))
+            self.metrics_history.append((it, host))
         self._pending_metrics.clear()
 
     def _maybe_grow_instance_cap(self) -> None:
