@@ -110,7 +110,8 @@ RENDER_CAP = 1 << 21    # the 1080p view of this scene demands ~2.0M
 
 def bench_render_fps(model):
     from fastergs_tpu.ops.projection import CameraParams
-    from fastergs_tpu.ops.rasterize import RasterizerSettings, diff_rasterize
+    from fastergs_tpu.ops.rasterize import (
+        RasterizerSettings, diff_rasterize, rasterize)
 
     g = model.gaussians
     w, h = 1920, 1080
@@ -129,11 +130,13 @@ def bench_render_fps(model):
 
     @jax.jit
     def render_many(args, n_frames):
+        # the dedicated inference pipeline (rasterize -> no-saved-state
+        # forward), matching the reference's FPS benchmark which times
+        # _C.inference, not the training forward (Renderer.py:99-112)
         # data dependency through the carry prevents loop-invariant hoisting
         def body(i, carry):
             acc, a = carry
-            img, _ = diff_rasterize(*a, settings,
-                                    instance_cap=RENDER_CAP, chunk=64)
+            img = rasterize(*a, settings, instance_cap=RENDER_CAP, chunk=64)
             v = img[0, 0, 0]
             return acc + v, (a[0] + 0.0 * v,) + a[1:]
         out, _ = jax.lax.fori_loop(0, n_frames, body,

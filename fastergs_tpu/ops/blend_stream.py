@@ -37,6 +37,14 @@ Instance field layout (16, I) transposed struct-of-fields, instances in
 lanes: rows [mx, my, conic_a, conic_b, conic_c, opacity, r, g, b, tile_id,
 pad...]; slots past the real instance count carry tile_id == n_tiles
 (sentinel) and all-zero fields (alpha == 0, inert).
+
+Finiteness precondition: the masked-matmul expansions (seg_acc's wm·c3 and
+the backward's ga6/cl6/w6 rank-k products) zero the MASK side only, so a
+non-finite color/aux value in an excluded lane would propagate as 0·Inf =
+NaN through the MXU reduction. Callers guarantee finite fields: sentinel
+slots are zero-filled by the binning fill, and the projection/activation
+pipeline produces finite primitives for any finite parameters (opacities
+via sigmoid, scales via bounded exp, conics via guarded inversion).
 """
 
 from __future__ import annotations
@@ -95,7 +103,7 @@ def _tri():
     return (ri <= ci).astype(jnp.float32)
 
 
-def _seg_cumsum_mxu(x, seg0, exclusive):
+def _seg_cumsum_mxu(x, seg0, exclusive, prec=_PREC):
     """Segmented cumulative sum along lanes via MXU + one lane gather.
 
     x: (P, C); seg0: (1, C) per-lane segment start. cumsum(x) on the MXU,
@@ -104,7 +112,7 @@ def _seg_cumsum_mxu(x, seg0, exclusive):
     """
     full = jax.lax.dot_general(x, _tri(), (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_PREC)
+                               precision=prec)
     idx = jnp.maximum(seg0 - 1, 0)
     prev = jnp.take_along_axis(full, jnp.broadcast_to(idx, x.shape), axis=1)
     prev = jnp.where(seg0 > 0, prev, 0.0)
@@ -163,10 +171,10 @@ def _power_coeffs(fields, t_ids, statics: BlendStatics):
     return k, mxl, myl
 
 
-def _mm(a, b):
+def _mm(a, b, prec=_PREC):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=_PREC)
+                               precision=prec)
 
 
 def _alpha_eff_from_power(power, op, statics: BlendStatics):
@@ -243,7 +251,8 @@ def _n_inst(packed):
 # forward
 # --------------------------------------------------------------------- #
 
-def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int):
+def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int,
+                inference: bool = False):
     row_refs = refs[:10]
     out_hbm, stage, state, smem, sems = refs[10:]
     """One grid step = SUBS sequential 128-instance sub-chunks of the
@@ -255,8 +264,21 @@ def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int):
     state: (P, 4) VMEM — accumulated color (ch 0-2) and transmittance (ch 3)
     of the in-progress tile.
     stage: (RING, P, 4) output staging ring; sems: per-slot DMA semaphores.
+
+    inference=True is the render-only mode (the analog of the reference's
+    dedicated no-saved-state pipeline, inference.cu:11-221): the sticky
+    frozen-transmittance bookkeeping that exists only for gradient parity
+    is dropped, and the two big per-chunk matmuls (the 128-deep
+    transmittance cumsum and the color segment accumulation) run at
+    DEFAULT (one-pass bf16) MXU precision instead of HIGHEST (6-pass) —
+    both contract same-signed values (log1p(-alpha) ≤ 0; blend weights in
+    [0, 1]), so there is no cancellation and the relative error stays at
+    the bf16 product level (~0.4%, below 8-bit output quantization). The
+    power-coefficient matmul keeps HIGHEST: its expanded quadratic form
+    cancels, and tiny splats would lose visible alpha accuracy.
     """
     k = pl.program_id(0)
+    prec = jax.lax.Precision.DEFAULT if inference else _PREC
     n_pix = statics.tile_width * statics.tile_height
     n_tiles = statics.grid_width * statics.grid_height
     thresh = statics.transmittance_threshold
@@ -330,7 +352,8 @@ def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int):
             one_minus = 1.0 - alpha_eff
             seg0 = _seg_start_lane(t_ids)
             logs = jnp.log1p(-jnp.minimum(alpha_eff, _ALPHA_LOG_MAX))
-            excl = jnp.exp(_seg_cumsum_mxu(logs, seg0, exclusive=True))
+            excl = jnp.exp(_seg_cumsum_mxu(logs, seg0, exclusive=True,
+                                           prec=prec))
             state_v = state[:]                                 # (P, 4)
             trans_carry = state_v[:, 3:4]                      # (P, 1)
             base = jnp.where(t_ids == cur0, trans_carry, 1.0)  # (P, C)
@@ -357,14 +380,20 @@ def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int):
                 return jax.lax.dot_general(
                     wm, c3, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=_PREC)
+                    precision=prec)
 
             def seg_final_t(mask, end_pos, empty):
                 """Final transmittance of a segment ending at lane end_pos."""
-                fr = jnp.max(jnp.where(mask, frozen_cand, -1.0), axis=1,
-                             keepdims=True)                    # (P, 1)
                 t_end = _extract_at_lane(t_after, end_pos)
-                unfrozen = jnp.where(fr >= 0.0, fr, t_end)
+                if inference:
+                    # no sticky freeze: past the threshold crossing T only
+                    # keeps shrinking below 1e-4 — composite difference is
+                    # bounded by the threshold itself
+                    unfrozen = t_end
+                else:
+                    fr = jnp.max(jnp.where(mask, frozen_cand, -1.0), axis=1,
+                                 keepdims=True)                # (P, 1)
+                    unfrozen = jnp.where(fr >= 0.0, fr, t_end)
                 return jnp.where(empty, state[:][:, 3:4], unfrozen)
 
             # ---- serial pass over tile boundaries: finalize tiles ----
@@ -421,11 +450,17 @@ def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int):
                                       sems.at[s]).wait()
 
 
-def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None):
+def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None,
+                         inference: bool = False):
     """packed_t: (16, I) transposed struct-of-fields (row 9 = tile id) OR a
     tuple of 10 (I,) f32 columns (rows 0-8 fields, 9 tile id) — the sort
     outputs feed the kernel directly, no stacked layout in HBM.
-    Returns (T, P, 4): channels 0-2 color accumulator, 3 transmittance."""
+    Returns (T, P, 4): channels 0-2 color accumulator, 3 transmittance.
+
+    inference=True: render-only variant (reference inference.cu:11-221) —
+    no frozen-transmittance bookkeeping, one-pass bf16 MXU scans (see
+    _fwd_kernel); NOT suitable under jax.grad (no custom_vjp pairs with it).
+    """
     n_tiles = statics.grid_width * statics.grid_height
     n_pix = statics.tile_width * statics.tile_height
     rows10 = _as_rows10(packed_t)
@@ -449,7 +484,8 @@ def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, statics=statics, n_steps=n_steps),
+        functools.partial(_fwd_kernel, statics=statics, n_steps=n_steps,
+                          inference=inference),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 4, n_pix), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

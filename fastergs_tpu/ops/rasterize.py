@@ -56,6 +56,7 @@ def render_from_primitives(
     use_pallas: bool | None = None,
     tile_row_band: tuple | None = None,
     composite_background: bool = True,
+    inference: bool = False,
 ) -> tuple[jnp.ndarray, RenderAux]:
     """Differentiable image from per-Gaussian screen-space primitives.
 
@@ -65,6 +66,11 @@ def render_from_primitives(
     composite_background=False returns a 4-channel [rgb | transmittance]
     image (both differentiable) and leaves compositing to the caller (used
     by the banded step, which composites AFTER the cross-device reduction).
+    inference=True (render-only; NOT differentiable) dispatches the
+    dedicated no-saved-state forward (the analog of the reference's
+    inference pipeline, inference.cu:11-221): no custom_vjp plumbing, no
+    gradient re-attachment gather, no frozen-transmittance bookkeeping,
+    single-pass bf16 MXU scans inside the kernel.
 
     Splitting here (rather than inside one opaque function) lets the training
     step capture the per-Gaussian mean2d cotangent for densification info —
@@ -101,12 +107,19 @@ def render_from_primitives(
             sg_prims, jax.lax.stop_gradient(pack9), gw, gh, instance_cap,
             consts, tile_row_band=tile_row_band)
         n_instances, n_expanded = inst.n_instances, inst.n_expanded_instances
-        packed_t = attach_stream_grad(pack9, rows10, inst.gaussian_idx)
-        # per-chunk first/last tile ids drive the backward's block pipeline
-        c = blend_stream.CHUNK
-        ft = jnp.minimum(inst.tile_idx[::c], gw * gh - 1)
-        lt = jnp.minimum(inst.tile_idx[c - 1::c], gw * gh - 1)
-        acc, trans = blend_stream.blend_stream(packed_t, ft, lt, statics)
+        if inference:
+            # render-only: the sorted columns feed the no-saved-state
+            # forward directly (no grad attachment, no bwd block pipeline)
+            from fastergs_tpu.ops.blend_stream import _split_fin
+            acc, trans = _split_fin(blend_stream.blend_stream_forward(
+                rows10, statics, inference=True))
+        else:
+            packed_t = attach_stream_grad(pack9, rows10, inst.gaussian_idx)
+            # per-chunk first/last tile ids drive the backward's pipeline
+            c = blend_stream.CHUNK
+            ft = jnp.minimum(inst.tile_idx[::c], gw * gh - 1)
+            lt = jnp.minimum(inst.tile_idx[c - 1::c], gw * gh - 1)
+            acc, trans = blend_stream.blend_stream(packed_t, ft, lt, statics)
     else:
         inst: TileInstances = build_tile_instances(
             sg_prims, gw, gh, instance_cap, consts, exact_tile_test,
@@ -215,11 +228,25 @@ def rasterize(
 ) -> jnp.ndarray:
     """Fast inference render (reference: rasterize → _C.inference,
     inference.cu:11-221): no gradient state, saturated output, CHW or HWC.
+
+    Dispatches the dedicated render-only pipeline (render_from_primitives
+    inference=True): no custom_vjp machinery, no gradient re-attachment,
+    no frozen-transmittance bookkeeping inside the kernel — the TPU analog
+    of the reference's no-saved-state inference kernels
+    (kernels_inference.cuh:349-432).
     """
-    image, _ = diff_rasterize(
-        jax.lax.stop_gradient(means), raw_scales, raw_rotations,
-        raw_opacities, sh_coefficients_0, sh_coefficients_rest, settings,
-        active_mask=active_mask, instance_cap=instance_cap, chunk=chunk,
-        consts=consts, opacity_factor=opacity_factor)
+    if consts.debug:
+        _validate_inputs(means, raw_scales, raw_rotations, raw_opacities,
+                         sh_coefficients_0, sh_coefficients_rest, settings)
+    args = (means, raw_scales, raw_rotations, raw_opacities,
+            sh_coefficients_0, sh_coefficients_rest)
+    args = jax.tree_util.tree_map(jax.lax.stop_gradient, args)
+    prims = preprocess(
+        *args, settings.camera,
+        active_mask=active_mask, active_sh_bases=settings.active_sh_bases,
+        proper_antialiasing=settings.proper_antialiasing, consts=consts,
+        opacity_factor=opacity_factor)
+    image, _ = render_from_primitives(prims, settings, instance_cap, chunk,
+                                      consts, inference=True)
     image = jnp.clip(image, 0.0, 1.0)  # __saturatef (kernels_inference.cuh)
     return image if to_chw else image.transpose(1, 2, 0)

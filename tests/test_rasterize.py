@@ -123,6 +123,31 @@ def test_gradients_finite_difference():
     assert np.mean(results < 0.05) >= 0.7, results
 
 
+def test_inference_pipeline_matches_diff_forward():
+    """render_from_primitives(inference=True) — the dedicated render-only
+    pipeline (reference inference.cu:11-221) — must match the differentiable
+    forward up to the early-termination freeze difference, which is bounded
+    by the transmittance threshold (1e-4) times the background/color scale.
+    Exercised through the streaming Pallas kernels in interpret mode."""
+    from fastergs_tpu.constants import DEFAULT_CONSTANTS
+    from fastergs_tpu.ops.projection import preprocess
+    from fastergs_tpu.ops.rasterize import render_from_primitives
+
+    cam = make_camera(width=61, height=45)
+    scene = make_scene(n=400, seed=3)
+    settings = make_settings(cam, bg=(0.2, 0.4, 0.9))
+    prims = preprocess(*scene, cam, active_sh_bases=16,
+                       consts=DEFAULT_CONSTANTS)
+    img_diff, _ = render_from_primitives(
+        prims, settings, 1 << 14, consts=DEFAULT_CONSTANTS, use_pallas=True)
+    img_inf, aux = render_from_primitives(
+        prims, settings, 1 << 14, consts=DEFAULT_CONSTANTS, use_pallas=True,
+        inference=True)
+    np.testing.assert_allclose(np.asarray(img_inf), np.asarray(img_diff),
+                               atol=5e-4, rtol=0)
+    assert int(aux.n_instances) > 0
+
+
 def test_inference_rasterize_saturates():
     cam = make_camera()
     scene = make_scene(n=200, seed=6)
