@@ -25,4 +25,9 @@ import jax  # noqa: E402
 
 if not _ON_TPU:
     jax.config.update('jax_platforms', 'cpu')
+else:
+    # the -m tpu tier compiles real Mosaic kernels through a tunneled
+    # backend; the persistent cache makes reruns fast (bench.py does the same)
+    from fastergs_tpu.utils.compilation_cache import enable_persistent_cache
+    enable_persistent_cache()
 jax.config.update('jax_enable_x64', False)

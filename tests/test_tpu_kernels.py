@@ -23,17 +23,23 @@ requires_tpu = pytest.mark.skipif(
     reason='needs FASTERGS_TPU_TESTS=1 and a real TPU backend')
 
 
-def _scene(n=20_000, w=512, h=384, seed=0):
+def _scene(n=20_480, w=512, h=384, seed=0, focal_factor=0.7,
+           scale_shift=0.0):
     from fastergs_tpu.constants import DEFAULT_CONSTANTS
     from fastergs_tpu.data.synthetic import random_gaussian_scene
     from fastergs_tpu.ops.projection import CameraParams, preprocess, grid_size
 
     s = random_gaussian_scene(n, seed=seed)
+    if scale_shift:
+        # log-space shrink: sparse-coverage scenes (mid-chunk tier) need
+        # splats touching ~1 tile each
+        s = dict(s, scales=s['scales'] + np.float32(scale_shift))
     w2c = np.eye(4, dtype=np.float32)[:3]
     w2c[2, 3] = 3.0
     cam = CameraParams(
         w2c=jnp.asarray(w2c), cam_position=jnp.asarray([0.0, 0.0, -3.0]),
-        focal_x=jnp.float32(0.7 * w), focal_y=jnp.float32(0.7 * w),
+        focal_x=jnp.float32(focal_factor * w),
+        focal_y=jnp.float32(focal_factor * w),
         center_x=jnp.float32(w / 2), center_y=jnp.float32(h / 2),
         near_plane=jnp.float32(0.05), far_plane=jnp.float32(100.0),
         width=w, height=h)
@@ -107,6 +113,218 @@ def test_mosaic_blend_matches_xla_forward_and_backward():
         assert d.max() < 5e-3 and frac_over < 1e-3, (
             f'grad mismatch in {name}: max {d.max():.2e}, '
             f'{frac_over:.2%} elements over 2e-3')
+
+
+@requires_tpu
+def test_mosaic_blend_mid_chunk_interior_tiles():
+    """A sparse scene (few instances per tile) forces chunks whose 32
+    instances span >2 tiles, exercising the rare middle-segment DMA path of
+    the streaming kernels (blend_stream.py: body2, the `is_mid` fetch) in
+    BOTH directions. The workload is self-validating: we assert the stream
+    really contains such chunks before asserting parity."""
+    from fastergs_tpu.constants import DEFAULT_CONSTANTS
+    from fastergs_tpu.ops.projection import grid_size
+    from fastergs_tpu.ops.rasterize import (
+        RasterizerSettings, render_from_primitives)
+    from fastergs_tpu.ops.tiles import build_tile_instances_stream
+    from fastergs_tpu.ops.blend_stream import CHUNK
+
+    # wide image + tiny splats => a few instances per covered tile
+    prims, cam, gw, gh, _ = _scene(n=20_480, w=1024, h=768,
+                                   focal_factor=0.9, scale_shift=-2.5)
+    settings = RasterizerSettings(camera=cam, bg_color=jnp.zeros(3),
+                                  active_sh_bases=16)
+    cap = 1 << 16
+
+    import jax.tree_util as jtu
+    sg = jtu.tree_map(jax.lax.stop_gradient, prims)
+    from fastergs_tpu.ops.blend import pack_blend_inputs
+    pack9 = pack_blend_inputs(sg.mean2d, sg.conic, sg.opacity, sg.color)
+    inst, _ = jax.jit(lambda p, k: build_tile_instances_stream(
+        p, k, gw, gh, cap, DEFAULT_CONSTANTS))(sg, pack9)
+    assert int(inst.n_expanded_instances) <= cap, 'truncated workload'
+    tid = np.asarray(inst.tile_idx)[:int(inst.n_expanded_instances)]
+    tid = tid[: (tid.shape[0] // CHUNK) * CHUNK].reshape(-1, CHUNK)
+    n_tiles_per_chunk = np.array(
+        [np.unique(r[r < gw * gh]).size for r in tid])
+    assert (n_tiles_per_chunk > 2).sum() >= 10, (
+        'workload regression: stream no longer exercises mid segments '
+        f'(max tiles/chunk = {n_tiles_per_chunk.max()})')
+
+    def render(use_pallas):
+        return jax.jit(lambda pr: render_from_primitives(
+            pr, settings, cap, chunk=CHUNK, consts=DEFAULT_CONSTANTS,
+            use_pallas=use_pallas))
+
+    img_p, aux_p = render(True)(prims)
+    img_x, aux_x = render(False)(prims)
+    # tiny-splat scene: alphas sit near min_alpha_threshold, where exp
+    # rounding differences flip the contribution test on isolated pixels
+    # (bounded by alpha*color ≈ 4e-3 each); bound the flip count and the
+    # per-pixel error instead of a blanket atol
+    d_img = np.abs(np.asarray(img_p) - np.asarray(img_x))
+    assert d_img.max() < 5e-3, f'mid-chunk fwd mismatch: max {d_img.max():.2e}'
+    assert float(np.mean(d_img > 5e-4)) < 1e-5
+
+    tgt = jnp.asarray(
+        np.random.default_rng(2).random(np.asarray(img_x).shape, np.float32))
+    names = ('mean2d', 'conic', 'opacity', 'color')
+
+    def loss(fields, use_pallas):
+        pr = prims._replace(**dict(zip(names, fields)))
+        img, _ = render_from_primitives(
+            pr, settings, cap, chunk=CHUNK, consts=DEFAULT_CONSTANTS,
+            use_pallas=use_pallas)
+        return jnp.mean(jnp.abs(img - tgt))
+
+    fields0 = tuple(getattr(prims, n) for n in names)
+    g_p = jax.jit(jax.grad(lambda f: loss(f, True)))(fields0)
+    g_x = jax.jit(jax.grad(lambda f: loss(f, False)))(fields0)
+    for name, a, b in zip(names, g_p, g_x):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-8)
+        d = np.abs(a / scale - b / scale)
+        frac_over = float(np.mean(d > 2e-3))
+        assert d.max() < 5e-3 and frac_over < 1e-3, (
+            f'mid-chunk grad mismatch in {name}: max {d.max():.2e}')
+
+
+@requires_tpu
+def test_mosaic_tile_row_band_matches_full_render():
+    """Banded rendering (the Gaussian-sharded multi-chip hook) on-chip:
+    in-band tile rows must match the full render; out-of-band rows are
+    (acc=0, T=1) => pure background."""
+    from fastergs_tpu.constants import DEFAULT_CONSTANTS
+    from fastergs_tpu.ops.rasterize import (
+        RasterizerSettings, render_from_primitives)
+
+    prims, cam, gw, gh, _ = _scene()
+    settings = RasterizerSettings(camera=cam, bg_color=jnp.zeros(3),
+                                  active_sh_bases=16)
+    cap = 1 << 17
+    lo, hi = 3, gh - 4
+    th = DEFAULT_CONSTANTS.tile_height
+
+    img_full, _ = jax.jit(lambda pr: render_from_primitives(
+        pr, settings, cap, chunk=32, consts=DEFAULT_CONSTANTS,
+        use_pallas=True))(prims)
+    img_band, _ = jax.jit(lambda pr: render_from_primitives(
+        pr, settings, cap, chunk=32, consts=DEFAULT_CONSTANTS,
+        use_pallas=True, tile_row_band=(lo, hi)))(prims)
+    full = np.asarray(img_full)   # (3, H, W)
+    band = np.asarray(img_band)
+    np.testing.assert_allclose(band[:, lo * th:hi * th],
+                               full[:, lo * th:hi * th], atol=5e-4, rtol=0)
+    assert np.abs(band[:, :lo * th]).max() == 0.0
+    assert np.abs(band[:, hi * th:]).max() == 0.0
+
+
+@requires_tpu
+def test_fill_kernel_fast_and_slow_paths():
+    """segment_fill_rows Mosaic-compiled vs a numpy oracle, on BOTH path
+    classes: fast (owners resolve inside the resident 2-window view) and
+    slow (long zero-length owner runs force the per-group advance loop,
+    ops/fill.py:_fill_subblock while_loop)."""
+    from fastergs_tpu.ops.fill import ROWS, segment_fill_rows
+
+    def oracle(rows, starts, cap):
+        owner = np.searchsorted(starts, np.arange(cap), side='right') - 1
+        return rows[:, np.maximum(owner, 0)]
+
+    rng = np.random.default_rng(0)
+
+    def run_case(lengths, cap, label):
+        n = lengths.shape[0]
+        starts = np.concatenate(
+            [[0], np.cumsum(lengths)[:-1]]).astype(np.int32)
+        rows = rng.integers(-(1 << 30), 1 << 30, (ROWS, n),
+                            dtype=np.int64).astype(np.int32)
+        out = jax.jit(lambda r, s: segment_fill_rows(r, s, cap))(
+            jnp.asarray(rows), jnp.asarray(starts))
+        np.testing.assert_array_equal(
+            np.asarray(out), oracle(rows, starts, cap), err_msg=label)
+
+    # fast path: ~8 slots per owner, the view slides one window at a time
+    run_case(rng.integers(0, 16, 1024).astype(np.int64), 1 << 14, 'fast')
+    # slow path: 512 output slots span thousands of owners (only 1 in 16
+    # Gaussians has any instance — a long culled run)
+    sparse = (np.arange(8192) % 16 == 0).astype(np.int64)
+    run_case(sparse, 1024, 'slow/per-group-advance')
+    # mixed: dense stretches interleaved with culled runs + a giant segment
+    mixed = rng.integers(0, 6, 4096).astype(np.int64)
+    mixed[512:2048] = 0
+    mixed[100] = 700
+    run_case(mixed, 1 << 13, 'mixed')
+
+
+@requires_tpu
+def test_fused_train_step_runs_on_chip():
+    """train_steps_fused (what bench.py and the trainer hot loop actually
+    dispatch) compiles and runs on the chip: fwd + bwd + segment reduction +
+    Adam in one donated dispatch, at a 128-aligned capacity so the fill
+    kernel is on the production path."""
+    from fastergs_tpu.data.synthetic import make_synthetic_dataset
+    from fastergs_tpu.engine.loss import LossWeights
+    from fastergs_tpu.engine.train_step import (
+        TrainStepStatics, train_steps_fused)
+    from fastergs_tpu.models.gaussians import FasterGSModel
+
+    w, h, cap = 256, 192, 1 << 15
+    dataset, scene = make_synthetic_dataset(
+        n_gaussians=4096, n_views=2, width=w, height=h, focal=0.55 * w,
+        seed=0, instance_cap=cap, test_step=10)
+    data = dataset.to_device_dataset()
+    model = FasterGSModel(sh_degree=3).build()
+    model.gaussians.initialize_from_point_cloud(
+        scene['means'], None, use_mcmc=False)
+    g = model.gaussians
+    assert g.state.params['means'].shape[0] % 128 == 0
+
+    statics = TrainStepStatics(
+        width=w, height=h, active_sh_bases=16,
+        proper_antialiasing=False, use_original_3d_filter=False,
+        use_optimized_3d_filter=False, update_densification_info=True,
+        inject_noise=False, use_random_background=False,
+        instance_cap=cap, chunk=32, loss_weights=LossWeights())
+    lrs = {k: jnp.float32(v) for k, v in {
+        'means': 1.6e-4, 'sh_coefficients_0': 2.5e-3,
+        'sh_coefficients_rest': 1.25e-4, 'opacities': 0.025,
+        'scales': 5e-3, 'rotations': 1e-3}.items()}
+    idxs = jnp.asarray([0, 1], jnp.int32)
+    means_lrs = jnp.full((2,), 1.6e-4, jnp.float32)
+
+    state, metrics = train_steps_fused(
+        g.state, data, idxs, lrs, means_lrs, jax.random.PRNGKey(0), statics)
+    loss = float(metrics['loss'])
+    assert np.isfinite(loss) and loss > 0.0
+    assert int(metrics['n_rect_instances']) <= cap, 'truncated workload'
+    assert np.isfinite(np.asarray(state.params['means'])).all()
+
+
+@requires_tpu
+def test_mosaic_inference_render_matches_xla():
+    """The dedicated render-only pipeline (rasterize → inference=True
+    forward, bf16 MXU scans, no frozen-T bookkeeping) on-chip vs the XLA
+    composition. bf16 transmittance products carry ~0.4% relative error by
+    design (below 8-bit output quantization); the bound here is 1/255."""
+    from fastergs_tpu.constants import DEFAULT_CONSTANTS
+    from fastergs_tpu.ops.projection import preprocess
+    from fastergs_tpu.ops.rasterize import (
+        RasterizerSettings, render_from_primitives)
+
+    prims, cam, gw, gh, _ = _scene()
+    settings = RasterizerSettings(camera=cam, bg_color=jnp.asarray(
+        [0.1, 0.3, 0.7], jnp.float32), active_sh_bases=16)
+    cap = 1 << 17
+
+    img_inf, _ = jax.jit(lambda pr: render_from_primitives(
+        pr, settings, cap, chunk=32, consts=DEFAULT_CONSTANTS,
+        use_pallas=True, inference=True))(prims)
+    img_x, _ = jax.jit(lambda pr: render_from_primitives(
+        pr, settings, cap, chunk=32, consts=DEFAULT_CONSTANTS,
+        use_pallas=False))(prims)
+    d = np.abs(np.asarray(img_inf) - np.asarray(img_x))
+    assert d.max() < 1.0 / 255.0, f'inference mismatch: max {d.max():.2e}'
 
 
 @requires_tpu
