@@ -268,17 +268,13 @@ def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int,
     inference=True is the render-only mode (the analog of the reference's
     dedicated no-saved-state pipeline, inference.cu:11-221): the sticky
     frozen-transmittance bookkeeping that exists only for gradient parity
-    is dropped, and the two big per-chunk matmuls (the 128-deep
-    transmittance cumsum and the color segment accumulation) run at
-    DEFAULT (one-pass bf16) MXU precision instead of HIGHEST (6-pass) —
-    both contract same-signed values (log1p(-alpha) ≤ 0; blend weights in
-    [0, 1]), so there is no cancellation and the relative error stays at
-    the bf16 product level (~0.4%, below 8-bit output quantization). The
-    power-coefficient matmul keeps HIGHEST: its expanded quadratic form
-    cancels, and tiny splats would lose visible alpha accuracy.
+    is dropped. Scans stay at HIGHEST precision: running them at DEFAULT
+    (one-pass bf16) was measured at only ~4% fps (the render is
+    binning+VPU-bound, and the MXU overlaps) while costing 9.3e-3 max
+    image error on deep blends (> 2/255) — rejected; see PLAN.md round 3.
     """
     k = pl.program_id(0)
-    prec = jax.lax.Precision.DEFAULT if inference else _PREC
+    prec = _PREC
     n_pix = statics.tile_width * statics.tile_height
     n_tiles = statics.grid_width * statics.grid_height
     thresh = statics.transmittance_threshold
@@ -458,8 +454,8 @@ def blend_stream_forward(packed_t, statics: BlendStatics, interpret=None,
     Returns (T, P, 4): channels 0-2 color accumulator, 3 transmittance.
 
     inference=True: render-only variant (reference inference.cu:11-221) —
-    no frozen-transmittance bookkeeping, one-pass bf16 MXU scans (see
-    _fwd_kernel); NOT suitable under jax.grad (no custom_vjp pairs with it).
+    no frozen-transmittance bookkeeping (see _fwd_kernel); NOT suitable
+    under jax.grad (no custom_vjp pairs with it).
     """
     n_tiles = statics.grid_width * statics.grid_height
     n_pix = statics.tile_width * statics.tile_height

@@ -69,8 +69,7 @@ def render_from_primitives(
     inference=True (render-only; NOT differentiable) dispatches the
     dedicated no-saved-state forward (the analog of the reference's
     inference pipeline, inference.cu:11-221): no custom_vjp plumbing, no
-    gradient re-attachment gather, no frozen-transmittance bookkeeping,
-    single-pass bf16 MXU scans inside the kernel.
+    gradient re-attachment gather, no frozen-transmittance bookkeeping.
 
     Splitting here (rather than inside one opaque function) lets the training
     step capture the per-Gaussian mean2d cotangent for densification info —

@@ -304,9 +304,9 @@ def test_fused_train_step_runs_on_chip():
 @requires_tpu
 def test_mosaic_inference_render_matches_xla():
     """The dedicated render-only pipeline (rasterize → inference=True
-    forward, bf16 MXU scans, no frozen-T bookkeeping) on-chip vs the XLA
-    composition. bf16 transmittance products carry ~0.4% relative error by
-    design (below 8-bit output quantization); the bound here is 1/255."""
+    forward, no frozen-T bookkeeping) on-chip vs the XLA composition.
+    The only semantic difference is the dropped sticky freeze, bounded by
+    the transmittance threshold (1e-4); the bound here is 1/255."""
     from fastergs_tpu.constants import DEFAULT_CONSTANTS
     from fastergs_tpu.ops.projection import preprocess
     from fastergs_tpu.ops.rasterize import (
