@@ -272,6 +272,11 @@ def train_steps_fused(
     tunneled TPU. The means learning rate follows its exact per-iteration
     schedule via a scanned array; the MCMC noise lr is derived from it
     (5e5 * lr_means, reference Model.py:471).
+
+    Returns (state, metrics) where every metrics leaf is stacked
+    (n_steps,) — one entry per iteration, so loss/PSNR-vs-iteration
+    curves reconstruct at the reference's per-iteration granularity
+    (Loss.py:19) even in fused mode.
     """
     def body(st, per_step):
         idx, lr_means, k = per_step
@@ -283,7 +288,4 @@ def train_steps_fused(
         # (n_steps * V,) flat sampling -> (n_steps, V) batched steps
         view_indices = view_indices.reshape(-1, statics.views_per_step)
     keys = jax.random.split(key, view_indices.shape[0])
-    state, metrics = jax.lax.scan(body, state, (view_indices, means_lrs, keys))
-    last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
-    last['n_rect_instances'] = jnp.max(metrics['n_rect_instances'])
-    return state, last
+    return jax.lax.scan(body, state, (view_indices, means_lrs, keys))

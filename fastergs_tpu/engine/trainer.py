@@ -368,14 +368,19 @@ class FasterGSTrainer(Configurable):
         if not self._pending_metrics:
             return
         # host pulls happen only here, LOG_INTERVAL-batched (keeps the device
-        # queue deep; the reference pulls loss every iteration, Loss.py:19) —
-        # but EVERY pending window is kept, so loss/PSNR-vs-iteration curves
-        # reconstruct at full LOG_INTERVAL granularity from metrics_history
+        # queue deep; the reference pulls loss every iteration, Loss.py:19).
+        # Fused windows carry STACKED (n_steps,) metric leaves — they unroll
+        # to one metrics_history entry per iteration, matching the
+        # reference's per-iteration PSNR granularity exactly
         for it, m in self._pending_metrics:
-            host = {k: float(v) for k, v in m.items()}
-            self._instance_watermark = max(self._instance_watermark,
-                                           int(host['n_rect_instances']))
-            self.metrics_history.append((it, host))
+            host = {k: np.asarray(v) for k, v in m.items()}
+            n = max((v.shape[0] for v in host.values() if v.ndim), default=1)
+            for i in range(n):
+                rec = {k: float(v[i] if v.ndim else v)
+                       for k, v in host.items()}
+                self._instance_watermark = max(
+                    self._instance_watermark, int(rec['n_rect_instances']))
+                self.metrics_history.append((it + i, rec))
         self._pending_metrics.clear()
 
     def _maybe_grow_instance_cap(self) -> None:
@@ -500,7 +505,7 @@ class FasterGSTrainer(Configurable):
         new_state, metrics = train_steps_fused(
             g.state, self.device_data, view_indices, lrs, means_lrs,
             key, statics)
-        demand = int(metrics['n_rect_instances'])
+        demand = int(jnp.max(metrics['n_rect_instances']))
         self._instance_watermark = max(self._instance_watermark, demand)
         if demand > self.INSTANCE_CAP:
             self.INSTANCE_CAP = _next_pow2(int(demand * 1.5))
@@ -513,7 +518,8 @@ class FasterGSTrainer(Configurable):
                 backup, self.device_data, view_indices, lrs, means_lrs,
                 key, statics)
         g.state = new_state
-        self._pending_metrics.append((iteration + n_steps - 1, metrics))
+        # stacked (n_steps,) leaves: flush unrolls one entry per iteration
+        self._pending_metrics.append((iteration, metrics))
         if (iteration + n_steps) % self.LOG_INTERVAL < n_steps:
             self._flush_metrics()
 
