@@ -25,14 +25,15 @@ ASSUMED_RTX_BASELINE_ITERS_PER_SEC = 90.0
 
 # garden @ 1/4 resolution (fastergs_garden.yaml:106-107)
 WIDTH, HEIGHT = 1297, 840
-N_GAUSSIANS = 150_000   # sized so instance demand fits the cap with NO
-                        # truncation: the exact-precision kNN init gives
-                        # ~6.3 touched tiles per Gaussian at this resolution
-                        # (160k measured ~1.05M > 2^20 — the tail was being
-                        # silently dropped; train_demand in the JSON guards
-                        # this)
-INSTANCE_CAP = 1 << 20  # power of two (fast wide-sort compile); the trainer
-                        # grows caps in power-of-two steps the same way
+N_GAUSSIANS = 150_000   # garden-scale count; measured instance demand is
+                        # ~7.9 touched tiles per Gaussian (~1.19M) at this
+                        # resolution
+INSTANCE_CAP = 1 << 21  # must EXCEED measured demand: a truncated workload
+                        # silently drops blended instances and corrupts the
+                        # gradients being timed (round-3 headline mistake).
+                        # 2^21 is exactly what the trainer's watermark
+                        # growth would settle on; bench_training HARD-FAILS
+                        # on overflow so a truncated number can never ship
 CHUNK = 32
 TRAIN_STEPS = 30
 FPS_FRAMES = 20
@@ -88,7 +89,7 @@ def bench_training(data, model):
             jax.tree_util.tree_map(jnp.copy, state0), data, idxs, lrs,
             means_lrs, jax.random.PRNGKey(0), statics)
         # value fetch: block_until_ready is unreliable on the tunneled backend
-        float(metrics['loss'])
+        float(metrics['loss'][-1])
         return state, metrics
 
     # two warmup rounds: the first compiles; the second recompiles once more
@@ -96,10 +97,20 @@ def bench_training(data, model):
     run()
     run()
     t0 = time.perf_counter()
-    g.state, metrics = run()
+    g.state, stacked = run()
     dt = time.perf_counter() - t0
-    if int(metrics['n_rect_instances']) > INSTANCE_CAP:
-        metrics = dict(metrics, overflow=True)
+    # metrics leaves are stacked (n_steps,): counters report the max over
+    # the window (overflow detection), floats the last step
+    metrics = {k: (jnp.max(v)
+                   if not jnp.issubdtype(v.dtype, jnp.floating) else v[-1])
+               for k, v in stacked.items()}
+    demand = int(metrics['n_rect_instances'])
+    if demand > INSTANCE_CAP:
+        # NEVER report a truncated headline (the timed gradients would be
+        # corrupted): fail the training section instead
+        raise RuntimeError(
+            f'train instance demand {demand:,} exceeds cap '
+            f'{INSTANCE_CAP:,} — resize the workload before benching')
     return TRAIN_STEPS / dt, metrics
 
 
@@ -221,11 +232,8 @@ def main():
             train_cap=INSTANCE_CAP,
             loss=float(metrics['loss']))
         flops = algorithmic_flops_per_step(
-            N_GAUSSIANS, min(int(metrics['n_rect_instances']), INSTANCE_CAP),
-            WIDTH, HEIGHT)
+            N_GAUSSIANS, int(metrics['n_rect_instances']), WIDTH, HEIGHT)
         result['mfu_estimate'] = round(its * flops / TPU_V5E_PEAK_FLOPS, 4)
-        if int(metrics['n_rect_instances']) > INSTANCE_CAP:
-            result['train_overflow'] = True
     if render_demand is not None:
         result.update(render_demand=render_demand, render_cap=RENDER_CAP)
         if render_demand > RENDER_CAP:

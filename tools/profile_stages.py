@@ -22,8 +22,9 @@ from fastergs_tpu.utils.compilation_cache import enable_persistent_cache
 enable_persistent_cache()
 
 WIDTH, HEIGHT = 1297, 840
-N_GAUSSIANS = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
-INSTANCE_CAP = 1 << 20  # power of two: fast wide-sort compile
+N_GAUSSIANS = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+# default matches bench.py's honest (non-truncated) cap
+INSTANCE_CAP = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 21
 REPS = 10
 
 
