@@ -163,6 +163,22 @@ def _load_image(path: str, scale_factor: float):
     return rgb, alpha
 
 
+def resolve_images_dir(path: str, image_scale_factor: float):
+    """Shared images_N/pre-scaled resolution (MipNeRF360 convention:
+    images_2 / images_4 / images_8 hold pre-downsampled copies).
+
+    Returns (images_dir, pre_scaled): the directory the loader will read
+    and whether its images are already at the target scale. ONE definition
+    used by both load_colmap_dataset and validate_colmap_layout so the
+    dry-run validator can never drift from the loader's convention.
+    """
+    factor = round(1.0 / image_scale_factor) if image_scale_factor else 1
+    candidate = os.path.join(path, f'images_{factor}')
+    pre_scaled = factor > 1 and os.path.isdir(candidate)
+    images_dir = candidate if pre_scaled else os.path.join(path, 'images')
+    return images_dir, pre_scaled
+
+
 def validate_colmap_layout(path: str, image_scale_factor: float = 1.0):
     """Dry-run validation of a COLMAP capture directory (no image decode).
 
@@ -210,8 +226,7 @@ def validate_colmap_layout(path: str, image_scale_factor: float = 1.0):
 
     factor = round(1.0 / image_scale_factor) if image_scale_factor else 1
     candidate = os.path.join(path, f'images_{factor}')
-    pre_scaled = factor > 1 and os.path.isdir(candidate)
-    images_dir = candidate if pre_scaled else os.path.join(path, 'images')
+    images_dir, pre_scaled = resolve_images_dir(path, image_scale_factor)
     if not os.path.isdir(images_dir):
         raise DatasetError(
             f'no images directory: expected {images_dir}'
@@ -262,12 +277,7 @@ def load_colmap_dataset(
         xyz, rgb = read_points3d_txt(os.path.join(sparse, 'points3D.txt'))
 
     if images_dir is None:
-        # MipNeRF360 convention: images_2 / images_4 / images_8 downsamples
-        factor = round(1.0 / image_scale_factor)
-        candidate = os.path.join(path, f'images_{factor}')
-        images_dir = candidate if (factor > 1 and os.path.isdir(candidate)) \
-            else os.path.join(path, 'images')
-        pre_scaled = os.path.isdir(candidate) and factor > 1
+        images_dir, pre_scaled = resolve_images_dir(path, image_scale_factor)
     else:
         pre_scaled = False
 

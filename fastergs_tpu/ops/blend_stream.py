@@ -103,7 +103,7 @@ def _tri():
     return (ri <= ci).astype(jnp.float32)
 
 
-def _seg_cumsum_mxu(x, seg0, exclusive, prec=_PREC):
+def _seg_cumsum_mxu(x, seg0, exclusive):
     """Segmented cumulative sum along lanes via MXU + one lane gather.
 
     x: (P, C); seg0: (1, C) per-lane segment start. cumsum(x) on the MXU,
@@ -112,7 +112,7 @@ def _seg_cumsum_mxu(x, seg0, exclusive, prec=_PREC):
     """
     full = jax.lax.dot_general(x, _tri(), (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=prec)
+                               precision=_PREC)
     idx = jnp.maximum(seg0 - 1, 0)
     prev = jnp.take_along_axis(full, jnp.broadcast_to(idx, x.shape), axis=1)
     prev = jnp.where(seg0 > 0, prev, 0.0)
@@ -171,10 +171,10 @@ def _power_coeffs(fields, t_ids, statics: BlendStatics):
     return k, mxl, myl
 
 
-def _mm(a, b, prec=_PREC):
+def _mm(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=prec)
+                               precision=_PREC)
 
 
 def _alpha_eff_from_power(power, op, statics: BlendStatics):
@@ -274,7 +274,6 @@ def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int,
     image error on deep blends (> 2/255) — rejected; see PLAN.md round 3.
     """
     k = pl.program_id(0)
-    prec = _PREC
     n_pix = statics.tile_width * statics.tile_height
     n_tiles = statics.grid_width * statics.grid_height
     thresh = statics.transmittance_threshold
@@ -348,8 +347,7 @@ def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int,
             one_minus = 1.0 - alpha_eff
             seg0 = _seg_start_lane(t_ids)
             logs = jnp.log1p(-jnp.minimum(alpha_eff, _ALPHA_LOG_MAX))
-            excl = jnp.exp(_seg_cumsum_mxu(logs, seg0, exclusive=True,
-                                           prec=prec))
+            excl = jnp.exp(_seg_cumsum_mxu(logs, seg0, exclusive=True))
             state_v = state[:]                                 # (P, 4)
             trans_carry = state_v[:, 3:4]                      # (P, 1)
             base = jnp.where(t_ids == cur0, trans_carry, 1.0)  # (P, C)
@@ -376,7 +374,7 @@ def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int,
                 return jax.lax.dot_general(
                     wm, c3, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=prec)
+                    precision=_PREC)
 
             def seg_final_t(mask, end_pos, empty):
                 """Final transmittance of a segment ending at lane end_pos."""
@@ -887,8 +885,11 @@ def blend_stream_pruning_scores(packed_t, first_tile, last_tile,
 # custom_vjp wrapper
 # --------------------------------------------------------------------- #
 
-def _split_fin(fin):
-    """(T, 4, P) kernel layout → ((T, P, 3) acc, (T, P) transmittance)."""
+def split_fin(fin):
+    """(T, 4, P) kernel layout → ((T, P, 3) acc, (T, P) transmittance).
+
+    Public: the inference dispatch in ops/rasterize.py uses it to unpack
+    the no-saved-state forward's output."""
     return jnp.swapaxes(fin[:, 0:3, :], 1, 2), fin[:, 3, :]
 
 
@@ -899,12 +900,12 @@ def blend_stream(packed_t, first_tile, last_tile, statics: BlendStatics):
     first_tile/last_tile: (I/128,) i32 — tile id of each chunk's first/last
     instance, clamped to n_tiles-1 (drive the backward's block pipeline).
     """
-    return _split_fin(blend_stream_forward(packed_t, statics))
+    return split_fin(blend_stream_forward(packed_t, statics))
 
 
 def _fwd(packed_t, first_tile, last_tile, statics):
     fin = blend_stream_forward(packed_t, statics)
-    return _split_fin(fin), (packed_t, first_tile, last_tile, fin)
+    return split_fin(fin), (packed_t, first_tile, last_tile, fin)
 
 
 def _bwd(statics, residuals, cotangents):

@@ -70,6 +70,9 @@ def render_from_primitives(
     dedicated no-saved-state forward (the analog of the reference's
     inference pipeline, inference.cu:11-221): no custom_vjp plumbing, no
     gradient re-attachment gather, no frozen-transmittance bookkeeping.
+    On the non-Pallas (XLA/CPU) path there is no dedicated render-only
+    composition — inference=True falls back to the ordinary forward
+    (results identical; the speed distinction only exists on real TPUs).
 
     Splitting here (rather than inside one opaque function) lets the training
     step capture the per-Gaussian mean2d cotangent for densification info —
@@ -109,9 +112,9 @@ def render_from_primitives(
         if inference:
             # render-only: the sorted columns feed the no-saved-state
             # forward directly (no grad attachment, no bwd block pipeline)
-            from fastergs_tpu.ops.blend_stream import _split_fin
-            acc, trans = _split_fin(blend_stream.blend_stream_forward(
-                rows10, statics, inference=True))
+            acc, trans = blend_stream.split_fin(
+                blend_stream.blend_stream_forward(
+                    rows10, statics, inference=True))
         else:
             packed_t = attach_stream_grad(pack9, rows10, inst.gaussian_idx)
             # per-chunk first/last tile ids drive the backward's pipeline
@@ -232,7 +235,9 @@ def rasterize(
     inference=True): no custom_vjp machinery, no gradient re-attachment,
     no frozen-transmittance bookkeeping inside the kernel — the TPU analog
     of the reference's no-saved-state inference kernels
-    (kernels_inference.cuh:349-432).
+    (kernels_inference.cuh:349-432). On the non-Pallas (XLA/CPU) fallback
+    the ordinary forward composition runs instead — results identical,
+    the fast path only exists on real TPUs.
     """
     if consts.debug:
         _validate_inputs(means, raw_scales, raw_rotations, raw_opacities,
