@@ -87,26 +87,27 @@ def main():
     # B: fused single key
     key = (tile.astype(jnp.uint32) << jnp.uint32(19)) | (
         depth.astype(jnp.uint32) >> jnp.uint32(13))
+    sign_flip = jnp.int32(-(1 << 31))  # flip sign bit: u32 order as i32
 
     def sort_b(k, o, *ps):
         return jax.lax.sort((k, o) + ps, num_keys=1, is_stable=False)
 
     timeit('B: fused u32 key, 11 ops, num_keys=1, 2^21', rep(sort_b),
-           key.astype(jnp.int32) ^ jnp.int32(1 << 31), own, *pay)
+           key.astype(jnp.int32) ^ sign_flip, own, *pay)
 
     # B2: fused key + keep full depth as payload (exactness recoverable?)
     def sort_b2(k, d, o, *ps):
         return jax.lax.sort((k, d, o) + ps, num_keys=2, is_stable=False)
 
     timeit('B2: fused key + depth tiebreak (num_keys=2)', rep(sort_b2),
-           key.astype(jnp.int32) ^ jnp.int32(1 << 31), depth, own, *pay)
+           key.astype(jnp.int32) ^ sign_flip, depth, own, *pay)
 
     # C: non-power-of-two length
     t2, d2, o2, p2 = make(I_NP2)
     k2 = (t2.astype(jnp.uint32) << jnp.uint32(19)) | (
         d2.astype(jnp.uint32) >> jnp.uint32(13))
     timeit('C: fused key, 11 ops, 1,310,720 (np2)', rep(sort_b),
-           k2.astype(jnp.int32) ^ jnp.int32(1 << 31), o2, *p2)
+           k2.astype(jnp.int32) ^ sign_flip, o2, *p2)
 
     # C2: current 12-op 2-key at np2 length
     timeit('C2: 12 ops num_keys=2, 1,310,720 (np2)', rep(sort_a),
@@ -117,7 +118,7 @@ def main():
         return jax.lax.sort((k, o) + ps, num_keys=1, is_stable=False)
 
     timeit('D: fused key, 2+5 ops, 2^21', rep(sort_d),
-           key.astype(jnp.int32) ^ jnp.int32(1 << 31), own, *pay[:5])
+           key.astype(jnp.int32) ^ sign_flip, own, *pay[:5])
 
     # owner-sort shape (gradient reduction): 1 key + 9 payload @ 2^21
     def sort_own(o, *ps):
