@@ -28,12 +28,16 @@ WIDTH, HEIGHT = 1297, 840
 N_GAUSSIANS = 150_000   # garden-scale count; measured instance demand is
                         # ~7.9 touched tiles per Gaussian (~1.19M) at this
                         # resolution
-INSTANCE_CAP = 1 << 21  # must EXCEED measured demand: a truncated workload
-                        # silently drops blended instances and corrupts the
-                        # gradients being timed (round-3 headline mistake).
-                        # 2^21 is exactly what the trainer's watermark
-                        # growth would settle on; bench_training HARD-FAILS
-                        # on overflow so a truncated number can never ship
+INSTANCE_CAP = 1_245_184  # 19 * 2^16: must EXCEED measured demand
+                        # (1,178,254 at this workload, 5.7% headroom) — a
+                        # truncated workload silently drops blended
+                        # instances and corrupts the gradients being timed
+                        # (round-3 headline mistake). Aligned caps sort at
+                        # their exact length (constants.CAP_ALIGN); the
+                        # linear-in-I stages (fill/blend/segreduce) no
+                        # longer pay pow2 padding. bench_training
+                        # HARD-FAILS on overflow so a truncated number can
+                        # never ship
 CHUNK = 32
 TRAIN_STEPS = 30
 FPS_FRAMES = 20
@@ -114,9 +118,10 @@ def bench_training(data, model):
     return TRAIN_STEPS / dt, metrics
 
 
-RENDER_CAP = 1 << 21    # the 1080p view of this scene demands ~2.0M
-                        # instances (measured); an undersized cap silently
-                        # drops the overflow and fakes the FPS number
+RENDER_CAP = 1_966_080  # 30 * 2^16: the 1080p view of this scene demands
+                        # 1,863,253 instances (measured, 5.5% headroom);
+                        # an undersized cap silently drops the overflow
+                        # and fakes the FPS number
 
 
 def bench_render_fps(model):

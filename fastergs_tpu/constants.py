@@ -77,6 +77,42 @@ class RasterizerConstants:
 
 DEFAULT_CONSTANTS = RasterizerConstants()
 
+# Instance-capacity alignment quantum. Capacities must satisfy every
+# kernel's grid alignment (fill: %1024, blend stream / segreduce: %512);
+# 2^16 additionally bounds the number of DISTINCT buffer lengths the
+# watermark-growth policy can produce, keeping sort recompiles rare (each
+# new length compiles a fresh wide variadic sort, ~4-12 s on v5e). The
+# reference sizes its instance buffer exactly per frame
+# (forward.cu:99-102); on TPU shapes are static, so this quantum is the
+# static-shape analog: cap = demand rounded up, NOT the next power of two
+# (pow2 rounding cost up to +100% padding on every linear-in-I stage —
+# measured 44% padding at garden scale in round 4).
+CAP_ALIGN = 1 << 16
+
+
+def round_up_capacity(n: int) -> int:
+    """Smallest CAP_ALIGN multiple >= n (minimum one quantum)."""
+    return max((int(n) + CAP_ALIGN - 1) // CAP_ALIGN * CAP_ALIGN, CAP_ALIGN)
+
+
+def sort_pad_len(n: int) -> int:
+    """Length to pad a wide variadic TPU sort to.
+
+    XLA's TPU sort compiles in seconds at power-of-two and CAP_ALIGN-
+    multiple lengths, but takes MINUTES for many-operand sorts at
+    arbitrary lengths (measured round 2: 12 operands at 1,150,976 -> 92 s
+    vs 11 s at 2^21; round 4: 4-12 s at 1,310,720 = 20*2^16). Aligned
+    capacities sort at their exact length; small test-scale lengths pad
+    to the next power of two (cheap), odd large lengths to the next
+    CAP_ALIGN multiple.
+    """
+    n = int(n)
+    if n % CAP_ALIGN == 0:
+        return n
+    if n < CAP_ALIGN:
+        return 1 << max(n - 1, 1).bit_length()
+    return round_up_capacity(n)
+
 # SH basis constants, degree 0-3 (reference: sh_utils.cuh:7-30; standard
 # real spherical harmonics coefficients used by all 3DGS implementations).
 SH_C0 = 0.28209479177387814

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fastergs_tpu.constants import sort_pad_len
+
 STEP = 512     # instances per grid step
 W = 512        # owner-window width (lane-aligned flush DMAs)
 ROWS = 16      # field rows (sublane tiling multiple; rows 0-8 carry data)
@@ -163,11 +165,11 @@ def reduce_by_gaussian(rows_t: jnp.ndarray, own: jnp.ndarray,
     The sort carries only the data rows (bandwidth-bound payload).
     """
     n_inst = own.shape[0]
-    # pad the sort to a power of two: wide variadic TPU sorts at other
-    # lengths can take minutes to compile (see build_tile_instances_stream);
+    # sort at aligned lengths only (see constants.sort_pad_len: wide
+    # variadic TPU sorts at arbitrary lengths can take minutes to compile);
     # pad slots carry the sentinel owner and zero rows (summed into the
     # discarded extra row)
-    sort_len = max(1 << (n_inst - 1).bit_length(), STEP)
+    sort_len = max(sort_pad_len(n_inst), STEP)
     pad_n = sort_len - n_inst
     ops_in = [own] + [jax.lax.bitcast_convert_type(rows_t[r], jnp.int32)
                       for r in range(n_data_rows)]

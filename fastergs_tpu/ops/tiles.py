@@ -35,7 +35,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from fastergs_tpu.constants import RasterizerConstants, DEFAULT_CONSTANTS
+from fastergs_tpu.constants import (RasterizerConstants, DEFAULT_CONSTANTS,
+                                    sort_pad_len)
 from fastergs_tpu.ops.math import float32_ordered_bits
 from fastergs_tpu.ops.projection import Primitives2D, EXACT_TEST_WINDOW
 
@@ -345,12 +346,12 @@ def build_tile_instances_stream(
     # sentinel slots must blend to nothing: zero fields (alpha == 0, inert)
     extra = [jnp.where(live, c, 0) for c in extra]
 
-    # XLA's TPU variadic sort compiles in seconds at power-of-two lengths
-    # but takes MINUTES for many-operand sorts at other lengths (measured:
-    # 12 operands at 1,150,976 → 92 s vs 11 s at 2^21). Pad the sort with
-    # max-key sentinels and slice back; real instances (≤ cap) are
-    # unaffected since sentinels sort to the tail.
-    sort_len = 1 << (instance_cap - 1).bit_length()
+    # Sort at the capacity itself when it is CAP_ALIGN-aligned (production
+    # caps are — see constants.round_up_capacity); otherwise pad with
+    # max-key sentinels to an alignment XLA compiles fast and slice back.
+    # Real instances (≤ cap) are unaffected since sentinels sort to the
+    # tail.
+    sort_len = sort_pad_len(instance_cap)
     pad = sort_len - instance_cap
     ops_in = [tile_key, depth_key, own] + list(extra)
     if pad:

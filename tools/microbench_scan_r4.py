@@ -2,16 +2,21 @@
 load of the blend kernels (two (P=256, C=128) @ (C, C) HIGHEST tri-matmuls
 per 128-instance sub-chunk).
 
-Variants (all inside a representative Pallas kernel so Mosaic lowering and
-pipelining are real):
-  A. current: HIGHEST (6-pass) f32 tri matmul
-  B. one-sided 3-way bf16 split (tri is EXACTLY bf16-representable; the
-     data side splits into 3 bf16 terms carrying the full 24-bit mantissa)
-     -> 3 DEFAULT passes, f32 accumulate: bit-comparable to HIGHEST
-  C. one-sided 2-way split (16-bit effective mantissa)
-  D. VPU log-step shifted-add scan (exact f32 adds, no MXU)
+Variants (inside a Pallas kernel, data generated IN-kernel so nothing is
+DMA'd — isolates pure math throughput at the blend kernels' shapes):
+  none     no matmul (kernel overhead + data-gen floor)
+  default  one bf16 pass (precision floor, speed ceiling)
+  highest  current: HIGHEST f32 matmul (XLA picks the pass count)
+  split2   one-sided 2-term bf16 split of the DATA side (tri side is
+           exactly bf16); terms isolated by MANTISSA BITMASKING, not dtype
+           round-trips (XLA's allow-excess-precision folds bf16->f32
+           round-trips to identity, silently degrading the split)
+  split3   3-term masked split: bits 1-8 / 9-16 / 17-24 of the f32
+           mantissa — the term products are exact, so the sum matches a
+           true f32 matmul up to f32 accumulation order
+  vpu      log-step shifted-add lane scan (exact f32 adds, no MXU)
 
-Prints ms per variant + max abs error vs the f64 oracle. Development tool.
+Prints ms per variant + max rel err vs the f64 oracle. Development tool.
 """
 
 import sys
@@ -43,22 +48,33 @@ def _tri():
     return (ri <= ci).astype(jnp.float32)
 
 
-def _mm_highest(x, t):
+def _mm_prec(x, t, precision):
     return jax.lax.dot_general(x, t, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=precision)
+
+
+def _chop_hi16(x):
+    """Top-16-bit part of f32 (sign+exp+7 mantissa bits): exactly
+    bf16-representable, and NOT foldable by allow-excess-precision.
+    Shift-based masking (int literals inline in Mosaic; an `& const`
+    mask becomes a captured i32[] constant pallas rejects)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    hi = jax.lax.shift_left(jax.lax.shift_right_logical(bits, 16), 16)
+    return jax.lax.bitcast_convert_type(hi, jnp.float32)
 
 
 def _mm_split(x, t, terms):
     tb = t.astype(jnp.bfloat16)
     out = None
     rem = x
-    for _ in range(terms):
-        hi = rem.astype(jnp.bfloat16)
-        part = jax.lax.dot_general(hi, tb, (((1,), (0,)), ((), ())),
+    for i in range(terms):
+        hi = _chop_hi16(rem) if i < terms - 1 else rem
+        part = jax.lax.dot_general(hi.astype(jnp.bfloat16), tb,
+                                   (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         out = part if out is None else out + part
-        rem = rem - hi.astype(jnp.float32)
+        rem = rem - hi
     return out
 
 
@@ -73,71 +89,88 @@ def _scan_vpu(x):
     return out
 
 
+def _gen(k, sub):
+    """Pseudo-random-ish (P, C) data from iota (no HBM input)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (P, C), 1)
+    h = (r * 37 + c * 101 + k * 7919 + sub * 131) & 1023
+    return -(h.astype(jnp.float32) + 0.5) * (1.0 / 256.0)
+
+
+def apply_mode(mode, x):
+    if mode == 'none':
+        return x
+    if mode == 'default':
+        return _mm_prec(x, _tri(), jax.lax.Precision.DEFAULT)
+    if mode == 'highest':
+        return _mm_prec(x, _tri(), jax.lax.Precision.HIGHEST)
+    if mode == 'split2':
+        return _mm_split(x, _tri(), 2)
+    if mode == 'split3':
+        return _mm_split(x, _tri(), 3)
+    return _scan_vpu(x)
+
+
 def make_kernel(mode):
-    def kernel(x_ref, o_ref):
+    def kernel(o_ref):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            o_ref[:, :] = jnp.zeros((P, C), jnp.float32)
+
         acc = jnp.zeros((P, C), jnp.float32)
         for s in range(SUBS):
-            x = x_ref[:, s * C:(s + 1) * C]
-            if mode == 'highest':
-                y = _mm_highest(x, _tri())
-            elif mode == 'split3':
-                y = _mm_split(x, _tri(), 3)
-            elif mode == 'split2':
-                y = _mm_split(x, _tri(), 2)
-            else:
-                y = _scan_vpu(x)
-            acc = acc + y
-        o_ref[:, :] = acc
+            acc = acc + apply_mode(mode, _gen(k, s))
+        o_ref[:, :] += acc
     return kernel
 
 
-def run(mode, x):
+@functools.lru_cache(maxsize=None)
+def make_run(mode):
     f = pl.pallas_call(
         make_kernel(mode),
         out_shape=jax.ShapeDtypeStruct((P, C), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(N_STEPS,),
-            in_specs=[pl.BlockSpec((P, SUBS * C), lambda k: (0, k),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=[],
             out_specs=pl.BlockSpec((P, C), lambda k: (0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         interpret=jax.default_backend() != 'tpu',
     )
-    return jax.jit(f)(x)
+    return jax.jit(f)
 
 
 def main():
     rng = np.random.default_rng(0)
-    # log-transmittance-like data: negative, wide dynamic range
-    x_np = -np.abs(rng.normal(0, 2.0, (P, N_STEPS * SUBS * C))
-                   ).astype(np.float32)
-    x = jnp.asarray(x_np)
+    tile = -np.abs(rng.normal(0, 2.0, (P, C))).astype(np.float32)
+    oracle = tile.astype(np.float64) @ np.tril(np.ones((C, C))).T
 
-    # numeric oracle on one (P, C) tile
-    tile = x_np[:, :C].astype(np.float64)
-    oracle = tile @ np.tril(np.ones((C, C))).T  # cumsum along axis 1
-
-    for mode in ('highest', 'split3', 'split2', 'vpu'):
-        out = run(mode, x)
-        float(jnp.sum(out))
+    for mode in ('none', 'default', 'highest', 'split2', 'split3', 'vpu'):
+        run = make_run(mode)
         t0 = time.perf_counter()
-        out = run(mode, x)
-        float(jnp.sum(out))
-        dt = (time.perf_counter() - t0) * 1e3
-        # error check on a single tile via plain jit
-        def one(xt):
-            if mode == 'highest':
-                return _mm_highest(xt, _tri())
-            if mode == 'split3':
-                return _mm_split(xt, _tri(), 3)
-            if mode == 'split2':
-                return _mm_split(xt, _tri(), 2)
-            return jnp.cumsum(xt, axis=1)
-        got = np.asarray(jax.jit(one)(jnp.asarray(tile.astype(np.float32))))
-        err = np.max(np.abs(got - oracle) / np.maximum(np.abs(oracle), 1e-6))
-        print(f'{mode:10s} {dt:8.2f} ms   max rel err vs f64: {err:.2e}')
+        float(jnp.sum(run()))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            float(jnp.sum(run()))
+        dt = (time.perf_counter() - t0) * 1e3 / REPS
+
+        # error check outside pallas via plain jit
+        if mode == 'none':
+            err = 0.0
+        else:
+            def one(xt, mode=mode):
+                if mode == 'vpu':
+                    return jnp.cumsum(xt, axis=1)
+                return apply_mode(mode, xt)
+            got = np.asarray(jax.jit(one)(jnp.asarray(tile)))
+            err = float(np.max(np.abs(got - oracle)
+                               / np.maximum(np.abs(oracle), 1e-6)))
+        print(f'{mode:10s} {dt:8.2f} ms   (compile {compile_s:5.1f} s)   '
+              f'max rel err vs f64: {err:.2e}', flush=True)
 
 
 if __name__ == '__main__':

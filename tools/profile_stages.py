@@ -161,6 +161,24 @@ def main():
 
     timeit('stream build (fill+sort+payload)', rep(f_stream), prims, pack9)
     packed_t, _ = jax.jit(f_stream)(prims, pack9)
+
+    # sub-stages of the stream build: expansion (fill kernel + tile decode)
+    # vs the 12-operand lexicographic sort
+    from fastergs_tpu.ops.tiles import _expand_instances
+
+    def f_expand(prims, pack9):
+        fields_i32 = jax.lax.bitcast_convert_type(pack9, jnp.int32)
+        tk, dk, own, total, extra = _expand_instances(
+            prims, gw, gh, INSTANCE_CAP, extra_cols=fields_i32)
+        return (tk, dk, own) + tuple(extra)
+
+    timeit('  stream expand only (fill+decode)', rep(f_expand), prims, pack9)
+    cols12 = jax.jit(f_expand)(prims, pack9)
+
+    def f_sort12(*cols):
+        return jax.lax.sort(tuple(cols), num_keys=2, is_stable=False)
+
+    timeit('  stream sort only (12 ops, 2 keys)', rep(f_sort12), *cols12)
     c = blend_stream.CHUNK
     ft = jnp.minimum(tidx[::c], gw * gh - 1)
     lt = jnp.minimum(tidx[c - 1::c], gw * gh - 1)
