@@ -31,11 +31,14 @@ from fastergs_tpu.engine.train_step import (
 from fastergs_tpu.utils.logging import log_info, log_warning
 
 
-def _next_pow2(n: int) -> int:
-    p = 1 << 12
-    while p < n:
-        p *= 2
-    return p
+def _grow_capacity(n: int) -> int:
+    """Instance-capacity growth target: the demand (x a headroom factor,
+    applied by callers) rounded up to the kernel alignment quantum — NOT
+    the next power of two, which costs up to +100% padding on every
+    linear-in-I stage (sorts, fill, blend, segreduce all run at the static
+    cap; measured 44% padding at garden scale under pow2 caps)."""
+    from fastergs_tpu.constants import round_up_capacity
+    return round_up_capacity(n)
 
 
 @Configurable.configure(
@@ -386,7 +389,7 @@ class FasterGSTrainer(Configurable):
     def _maybe_grow_instance_cap(self) -> None:
         self._flush_metrics()
         if self._instance_watermark > 0.8 * self.INSTANCE_CAP:
-            self.INSTANCE_CAP = _next_pow2(int(self._instance_watermark * 1.5))
+            self.INSTANCE_CAP = _grow_capacity(int(self._instance_watermark * 1.5))
             log_warning(f'instance buffer watermark '
                         f'{self._instance_watermark:,} — growing capacity to '
                         f'{self.INSTANCE_CAP:,}')
@@ -458,6 +461,14 @@ class FasterGSTrainer(Configurable):
         with open(path, 'w') as f:
             f.write(f'Final number of Gaussians: {n:,}\n\n'
                     f'N_Gaussians:{n}')
+        # persist the full per-iteration metric history (the reference
+        # streams per-iteration loss/PSNR to wandb, Trainer.py:206-214;
+        # here every run leaves the curve on disk regardless of wandb)
+        import json
+        mpath = os.path.join(str(self.output_directory), 'metrics.jsonl')
+        with open(mpath, 'w') as f:
+            for it, rec in self.metrics_history:
+                f.write(json.dumps({'iteration': it, **rec}) + '\n')
 
     # ------------------------------------------------------------------ #
     # fused execution: batch hot-loop iterations between maintenance events
@@ -508,7 +519,7 @@ class FasterGSTrainer(Configurable):
         demand = int(jnp.max(metrics['n_rect_instances']))
         self._instance_watermark = max(self._instance_watermark, demand)
         if demand > self.INSTANCE_CAP:
-            self.INSTANCE_CAP = _next_pow2(int(demand * 1.5))
+            self.INSTANCE_CAP = _grow_capacity(int(demand * 1.5))
             log_warning(
                 f'instance overflow inside fused window at iteration '
                 f'{iteration:,} (demand {demand:,} > cap) — growing capacity '
