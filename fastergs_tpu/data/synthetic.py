@@ -67,15 +67,181 @@ def random_gaussian_scene(n: int, seed: int = 0, extent: float = 1.0,
                 sh_coefficients_rest=sh_rest)
 
 
+def _surface_rotations(normals: np.ndarray, rng) -> np.ndarray:
+    """Raw quaternions (w, x, y, z) rotating local +z onto each normal,
+    composed with a random spin about the normal (disc-like splats stay
+    tangent to the surface whatever the in-plane orientation)."""
+    n = normals / np.maximum(np.linalg.norm(normals, axis=1, keepdims=True),
+                             1e-9)
+    z = np.array([0.0, 0.0, 1.0], np.float32)
+    # quaternion from z to n: axis = z x n, w = 1 + z.n (normalized)
+    axis = np.cross(np.broadcast_to(z, n.shape), n)
+    w = 1.0 + n[:, 2:3]
+    q = np.concatenate([w, axis], axis=1)
+    # degenerate case n == -z: 180 deg about x
+    flip = w[:, 0] < 1e-6
+    q[flip] = np.array([0.0, 1.0, 0.0, 0.0], np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # spin about local z BEFORE alignment: q_total = q * spin
+    half = rng.uniform(0.0, np.pi, (len(n), 1)).astype(np.float32)
+    spin = np.concatenate(
+        [np.cos(half), np.zeros_like(half), np.zeros_like(half),
+         np.sin(half)], axis=1)
+    w1, x1, y1, z1 = q.T
+    w2, x2, y2, z2 = spin.T
+    return np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2], axis=1).astype(np.float32)
+
+
+def _texture(p: np.ndarray, base, accent, freq: float, seed_phase: float):
+    """Smooth multi-octave trig texture in [0, 1]^3: sharp-ish color
+    variation over position without any image assets."""
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    t = (np.sin(freq * x + seed_phase) * np.cos(0.7 * freq * z)
+         + 0.5 * np.sin(2.3 * freq * (x + z) + 1.7)
+         + 0.25 * np.sin(5.1 * freq * x - 3.3 * freq * z + 0.4)
+         + 0.12 * np.sin(11.0 * freq * (x - z)))
+    t = (t / 1.87 + 1.0) * 0.5  # -> [0, 1]
+    t = t[:, None].astype(np.float32)
+    base = np.asarray(base, np.float32)
+    accent = np.asarray(accent, np.float32)
+    return base + t * (accent - base)
+
+
+def structured_gaussian_scene(n: int, seed: int = 0, sh_degree: int = 3):
+    """Photoreal-ish procedural garden stand-in: surface-aligned Gaussians
+    on a textured ground disc, a central bush over a trunk, scattered
+    rocks, and a distant sky dome. Unlike `random_gaussian_scene` (a
+    uniform transparent cloud) this has occluding surfaces, sharp texture
+    gradients, and mild view-dependent sheen — the closest available
+    target to the reference's MipNeRF360 garden capture
+    (fastergs_garden.yaml:106-118), which cannot ship here.
+
+    World convention matches ring_cameras (y-down images, up = -y): the
+    ground plane sits at y = +1.0; cameras should orbit at negative
+    elevation (above the ground) looking at the origin.
+    """
+    rng = np.random.default_rng(seed)
+    parts = []  # (positions, normals, tangent_scale, normal_scale, rgb, op)
+
+    def add(pos, nrm, tan_s, nrm_s, rgb, op):
+        parts.append((pos.astype(np.float32), nrm.astype(np.float32),
+                      tan_s.astype(np.float32), nrm_s.astype(np.float32),
+                      rgb.astype(np.float32), op.astype(np.float32)))
+
+    # --- ground disc (textured grass + dirt path), y = +1.0 ---
+    ng = int(0.45 * n)
+    r = 4.2 * np.sqrt(rng.random(ng))
+    th = rng.uniform(0, 2 * np.pi, ng)
+    pos = np.stack([r * np.cos(th), np.full(ng, 1.0), r * np.sin(th)], 1)
+    pos[:, 1] += rng.normal(0, 0.01, ng)  # slight relief
+    grass = _texture(pos, (0.18, 0.34, 0.10), (0.45, 0.62, 0.22), 3.1, 0.0)
+    # a dirt path crossing the disc: banded along a diagonal
+    band = np.abs(pos[:, 0] * 0.8 + pos[:, 2] * 0.6 + 0.4)
+    on_path = (band < 0.55)[:, None]
+    dirt = _texture(pos, (0.38, 0.30, 0.20), (0.55, 0.46, 0.33), 7.0, 2.1)
+    rgb = np.where(on_path, dirt, grass)
+    spacing = 4.2 / np.sqrt(max(ng, 4))
+    tan_s = rng.uniform(1.6, 3.2, (ng, 1)) * spacing * (1.0 + 0.25 * r[:, None])
+    add(pos, np.tile([0.0, -1.0, 0.0], (ng, 1)), tan_s,
+        0.08 * tan_s, rgb, rng.uniform(2.5, 4.0, (ng, 1)))
+
+    # --- central bush: sphere shell at (0, 0.0, 0), radius 0.85 ---
+    nb = int(0.20 * n)
+    d = rng.normal(0, 1, (nb, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rad = 0.85 + rng.normal(0, 0.05, (nb, 1))
+    pos = np.array([0.0, 0.0, 0.0]) + d * rad
+    rgb = _texture(pos, (0.10, 0.25, 0.06), (0.35, 0.55, 0.15), 9.0, 4.2)
+    s = np.full((nb, 1), 2.4) * (0.85 * 2 / np.sqrt(max(nb, 4)))
+    add(pos, d, s * rng.uniform(0.8, 1.3, (nb, 1)), 0.2 * s, rgb,
+        rng.uniform(2.0, 3.5, (nb, 1)))
+
+    # --- trunk: cylinder r=0.22 from the bush down to the ground ---
+    nt = int(0.08 * n)
+    th = rng.uniform(0, 2 * np.pi, nt)
+    y = rng.uniform(0.55, 1.0, nt)
+    pos = np.stack([0.22 * np.cos(th), y, 0.22 * np.sin(th)], 1)
+    nrm = np.stack([np.cos(th), np.zeros(nt), np.sin(th)], 1)
+    rgb = _texture(pos, (0.30, 0.20, 0.12), (0.45, 0.33, 0.22), 16.0, 1.3)
+    s = np.full((nt, 1), 2.0) * (0.9 / np.sqrt(max(nt, 4)))
+    add(pos, nrm, s, 0.15 * s, rgb, rng.uniform(3.0, 4.5, (nt, 1)))
+
+    # --- rocks: small spheres scattered on the ground ---
+    nr = int(0.12 * n)
+    n_rocks = 6
+    centers = np.stack([rng.uniform(-3.0, 3.0, n_rocks),
+                        np.full(n_rocks, 0.85),
+                        rng.uniform(-3.0, 3.0, n_rocks)], 1)
+    radii = rng.uniform(0.15, 0.4, n_rocks)
+    which = rng.integers(0, n_rocks, nr)
+    d = rng.normal(0, 1, (nr, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pos = centers[which] + d * radii[which][:, None]
+    gray = rng.uniform(0.25, 0.55, (n_rocks, 1))[which]
+    rgb = np.repeat(gray, 3, axis=1) * _texture(
+        pos, (0.8, 0.78, 0.75), (1.15, 1.1, 1.05), 21.0, 6.6)
+    s = 2.2 * radii[which][:, None] / np.sqrt(max(nr / n_rocks, 4))
+    add(pos, d, s, 0.15 * s, rgb, rng.uniform(3.0, 4.5, (nr, 1)))
+
+    # --- sky dome: big shell, soft blue gradient + cloud streaks ---
+    ns = n - sum(len(p[0]) for p in parts)
+    d = rng.normal(0, 1, (ns, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d[:, 1] = -np.abs(d[:, 1])  # upper hemisphere only (up = -y)
+    pos = d * 14.0
+    height01 = np.clip(-d[:, 1], 0, 1)[:, None]
+    sky = (np.array([0.75, 0.85, 0.95]) * (1 - height01)
+           + np.array([0.35, 0.55, 0.90]) * height01)
+    cloud = _texture(pos, (0.0,) * 3, (0.25,) * 3, 0.45, 3.7)
+    rgb = np.clip(sky + cloud, 0, 1)
+    s = np.full((ns, 1), 3.0) * (14.0 / np.sqrt(max(ns, 4)))
+    add(pos, d, s, 0.3 * s, rgb, rng.uniform(1.0, 2.0, (ns, 1)))
+
+    pos = np.concatenate([p[0] for p in parts])
+    nrm = np.concatenate([p[1] for p in parts])
+    tan_s = np.concatenate([p[2] for p in parts])
+    nrm_s = np.concatenate([p[3] for p in parts])
+    rgb = np.clip(np.concatenate([p[4] for p in parts]), 0.0, 1.0)
+    op = np.concatenate([p[5] for p in parts])
+
+    n_total = len(pos)
+    aniso = rng.uniform(0.6, 1.6, (n_total, 1)).astype(np.float32)
+    raw_scales = np.log(np.concatenate(
+        [tan_s * aniso, tan_s / aniso, np.maximum(nrm_s, 1e-4)],
+        axis=1)).astype(np.float32)
+    raw_rotations = _surface_rotations(nrm, rng)
+    C0 = 0.28209479177387814
+    sh0 = ((rgb - 0.5) / C0)[:, None, :].astype(np.float32)
+    n_rest = (sh_degree + 1) ** 2 - 1
+    sh_rest = rng.normal(0, 0.02, (n_total, n_rest, 3)).astype(np.float32)
+    # mild view-dependent sheen on the degree-1 bands of solid surfaces
+    sh_rest[:, :3, :] += rng.normal(0, 0.06, (n_total, 3, 3))
+    return dict(means=pos.astype(np.float32), scales=raw_scales,
+                rotations=raw_rotations,
+                opacities=op.astype(np.float32),
+                sh_coefficients_0=sh0, sh_coefficients_rest=sh_rest)
+
+
 def make_synthetic_dataset(
     n_gaussians: int = 2000, n_views: int = 24, width: int = 128,
     height: int = 96, focal: float = 110.0, seed: int = 0,
     bg=(0.0, 0.0, 0.0), test_step: int = 8, instance_cap: int = 1 << 18,
+    scene_kind: str = 'random', elevation: float = 0.35,
 ) -> tuple:
-    """Returns (BaseDataset, ground-truth scene dict)."""
-    scene = random_gaussian_scene(n_gaussians, seed=seed)
+    """Returns (BaseDataset, ground-truth scene dict).
+
+    scene_kind: 'random' (uniform cloud, cheap) or 'structured' (surface
+    scene, the garden-parity stand-in — orbit above the ground with a
+    negative elevation, e.g. -0.4)."""
+    make_scene = (structured_gaussian_scene if scene_kind == 'structured'
+                  else random_gaussian_scene)
+    scene = make_scene(n_gaussians, seed=seed)
     views = ring_cameras(n_views, radius=3.2, width=width, height=height,
-                        focal=focal, bg=bg)
+                        focal=focal, bg=bg, elevation=elevation)
     gt_args = (jnp.asarray(scene['means']), jnp.asarray(scene['scales']),
                jnp.asarray(scene['rotations']),
                jnp.asarray(scene['opacities']),

@@ -9,14 +9,13 @@ the driver's garden parity procedure (README: "real-data parity") runs the
 exact same pipeline on a real capture directory.
 """
 
-import struct
-
 import numpy as np
 import pytest
 import jax.numpy as jnp
 
 pytestmark = pytest.mark.slow
 
+from fastergs_tpu.data.capture_io import write_colmap_capture  # noqa: E402
 from fastergs_tpu.data.colmap import load_colmap_dataset  # noqa: E402
 from fastergs_tpu.data.synthetic import (  # noqa: E402
     random_gaussian_scene, ring_cameras)
@@ -27,65 +26,6 @@ from fastergs_tpu.ops.projection import CameraParams  # noqa: E402
 from fastergs_tpu.ops.rasterize import (  # noqa: E402
     RasterizerSettings, rasterize)
 from fastergs_tpu.ops.ssim import psnr  # noqa: E402
-
-
-def _rotmat_to_qvec(R):
-    """Rotation matrix -> COLMAP (w, x, y, z) quaternion."""
-    t = np.trace(R)
-    if t > 0:
-        s = np.sqrt(t + 1.0) * 2
-        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
-                         (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
-    i = int(np.argmax(np.diag(R)))
-    j, k = (i + 1) % 3, (i + 2) % 3
-    s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1.0) * 2
-    q = np.empty(4)
-    q[0] = (R[k, j] - R[j, k]) / s
-    q[1 + i] = 0.25 * s
-    q[1 + j] = (R[j, i] + R[i, j]) / s
-    q[1 + k] = (R[k, i] + R[i, k]) / s
-    return q
-
-
-def _write_capture(root, views, images, points, colors):
-    """Writes <root>/images/*.png and <root>/sparse/0/*.bin."""
-    from PIL import Image
-    img_dir = root / 'images'
-    sparse = root / 'sparse' / '0'
-    img_dir.mkdir(parents=True)
-    sparse.mkdir(parents=True)
-
-    for v, img in zip(views, images):
-        arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
-        Image.fromarray(arr.transpose(1, 2, 0)).save(
-            img_dir / f'{v.name}.png')
-
-    cam = views[0].camera
-    with open(sparse / 'cameras.bin', 'wb') as f:
-        f.write(struct.pack('<Q', 1))
-        f.write(struct.pack('<iiQQ', 1, 1, cam.width, cam.height))  # PINHOLE
-        f.write(struct.pack('<4d', cam.focal_x, cam.focal_y,
-                            cam.center_x, cam.center_y))
-
-    with open(sparse / 'images.bin', 'wb') as f:
-        f.write(struct.pack('<Q', len(views)))
-        for i, v in enumerate(views):
-            R, t = v.w2c34[:, :3], v.w2c34[:, 3]
-            f.write(struct.pack('<i', i + 1))
-            f.write(struct.pack('<4d', *_rotmat_to_qvec(R)))
-            f.write(struct.pack('<3d', *t))
-            f.write(struct.pack('<i', 1))
-            f.write(f'{v.name}.png'.encode() + b'\x00')
-            f.write(struct.pack('<Q', 0))
-
-    with open(sparse / 'points3D.bin', 'wb') as f:
-        f.write(struct.pack('<Q', len(points)))
-        for i in range(len(points)):
-            f.write(struct.pack('<i', i + 1) + struct.pack('<i', 0))
-            f.write(struct.pack('<3d', *points[i]))
-            f.write(struct.pack('<3B', *(colors[i] * 255).astype(np.uint8)))
-            f.write(struct.pack('<d', 0.5))
-            f.write(struct.pack('<Q', 0))
 
 
 @pytest.fixture(scope='module')
@@ -109,7 +49,7 @@ def capture(tmp_path_factory):
     pts = scene['means'][keep] + rng.normal(0, 0.02, (keep.sum(), 3))
     C0 = 0.28209479177387814
     cols = np.clip(0.5 + C0 * scene['sh_coefficients_0'][keep, 0], 0, 1)
-    _write_capture(root, views, images, pts, cols)
+    write_colmap_capture(root, views, images, pts, cols)
     return root, views, images
 
 

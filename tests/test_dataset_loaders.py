@@ -90,3 +90,24 @@ def test_load_blender_dataset(tmp_path):
     assert v.alpha.shape == (1, 32, 40)
     expected_focal = 0.5 * 40 / np.tan(0.4)
     assert abs(v.camera.focal_x - expected_focal) < 1e-4
+
+
+def test_structured_gaussian_scene():
+    """The garden-parity stand-in scene (data/synthetic.py): surface-
+    aligned, unit quaternions, sane scales/opacities, textured colors."""
+    from fastergs_tpu.data.synthetic import structured_gaussian_scene
+    s = structured_gaussian_scene(5000, seed=3)
+    n = len(s['means'])
+    assert n == 5000
+    for k, v in s.items():
+        assert np.isfinite(v).all(), k
+    assert np.allclose(np.linalg.norm(s['rotations'], axis=1), 1.0,
+                       atol=1e-5)
+    scales = np.exp(s['scales'])
+    assert scales.min() > 1e-5 and scales.max() < 20.0
+    # colors carry real spatial texture: SH0 varies across the scene
+    assert s['sh_coefficients_0'].std() > 0.2
+    # surface anisotropy: the normal-axis scale is much smaller than the
+    # tangent scales for most ground/object splats
+    ratio = scales[:, 2] / np.maximum(scales[:, :2].mean(axis=1), 1e-9)
+    assert np.median(ratio) < 0.5
