@@ -39,6 +39,18 @@ def load_dataset_from_config(cfg: ConfigParameterList) -> BaseDataset:
             width=getattr(d, 'WIDTH', 128), height=getattr(d, 'HEIGHT', 96),
             seed=getattr(d, 'SEED', 0))
         return dataset
+    if dataset_type.lower() in ('video', 'dynerf', 'neural3dvideo'):
+        # Neural-3D-Video-style extracted-frames capture (the FasterGS4D
+        # branch's training target, reference README.md:39)
+        from fastergs_tpu.data.video import load_video_dataset
+        return load_video_dataset(
+            path,
+            image_scale_factor=getattr(d, 'IMAGE_SCALE_FACTOR', 1.0) or 1.0,
+            max_frames=getattr(d, 'MAX_FRAMES', None),
+            test_camera_index=getattr(d, 'TEST_CAMERA_INDEX', 0),
+            background_color=getattr(d, 'BACKGROUND_COLOR', [0.0, 0.0, 0.0]),
+            near_plane=getattr(d, 'NEAR_PLANE', 0.05),
+            far_plane=getattr(d, 'FAR_PLANE', 100.0))
     from fastergs_tpu.data.colmap import load_colmap_dataset
     return load_colmap_dataset(
         path, test_step=getattr(d, 'TEST_STEP', 8), **kwargs)
@@ -57,9 +69,16 @@ def build_from_config(config_path: str):
             jax.config.update('jax_debug_nans', True)
     dataset = load_dataset_from_config(cfg)
     sh_degree = 3
+    family = 'static'
     if hasattr(cfg, 'MODEL'):
         sh_degree = getattr(cfg.MODEL, 'SH_DEGREE', 3)
-    model = FasterGSModel(sh_degree=sh_degree).build()
+        family = str(getattr(cfg.MODEL, 'FAMILY', 'static'))
+    if family.lower() in ('4d', 'dynamic', 'fastergs4d'):
+        # dynamic family (FasterGS4D branch analog, README.md:39)
+        from fastergs_tpu.models.gaussians4d import FasterGS4DModel
+        model = FasterGS4DModel(sh_degree=sh_degree).build()
+    else:
+        model = FasterGSModel(sh_degree=sh_degree).build()
     renderer_overrides = cfg.RENDERER.to_dict() if hasattr(cfg, 'RENDERER') else {}
     renderer = FasterGSRenderer(model, renderer_overrides)
     trainer_overrides = cfg.TRAINING.to_dict() if hasattr(cfg, 'TRAINING') else {}

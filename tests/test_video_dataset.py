@@ -133,3 +133,34 @@ def test_train_4d_from_disk(video_capture):
         trainer.callbacks.run_training(it, ds)
     after = test_psnr()
     assert after > before + 1.0, (before, after)
+
+
+def test_cli_config_selects_video_dataset_and_4d_family(video_capture,
+                                                        tmp_path):
+    """The production config surface selects the DyNeRF loader and the 4D
+    model family (GLOBAL.DATASET_TYPE: Video + MODEL.FAMILY: 4D) — the
+    wiring tools/bench_4d.py trains through."""
+    import yaml
+    from fastergs_tpu.cli.common import build_from_config
+    from fastergs_tpu.models.gaussians4d import FasterGS4DModel
+
+    root, _ = video_capture
+    cfg = {
+        'GLOBAL': {'DATASET_TYPE': 'Video', 'LOG_LEVEL': 1},
+        'MODEL': {'SH_DEGREE': 1, 'FAMILY': '4D'},
+        'TRAINING': {'NUM_ITERATIONS': 10, 'INSTANCE_CAP': 1 << 14,
+                     'MODEL_NAME': 'video4d_smoke'},
+        'DATASET': {'PATH': root, 'MAX_FRAMES': 2, 'TEST_CAMERA_INDEX': 0},
+    }
+    path = tmp_path / 'cfg.yaml'
+    path.write_text(yaml.safe_dump(cfg))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # keep output/ out of the repo
+    try:
+        _, ds, model, renderer, trainer = build_from_config(str(path))
+    finally:
+        os.chdir(cwd)
+    assert isinstance(model, FasterGS4DModel)
+    assert model.gaussians.is_temporal
+    assert len(ds.train_views) == 6 and len(ds.test_views) == 2
+    assert trainer.NUM_ITERATIONS == 10

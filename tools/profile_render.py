@@ -24,9 +24,10 @@ enable_persistent_cache()
 
 W, H = 1920, 1080
 N_GAUSSIANS = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
-INSTANCE_CAP = 1 << 21   # matches bench.py RENDER_CAP: the 1080p view of
-                         # this scene demands ~2.0M instances; an undersized
-                         # cap silently truncates the profiled workload
+INSTANCE_CAP = (int(sys.argv[2]) if len(sys.argv) > 2 else 1_966_080)
+# default matches bench.py RENDER_CAP (30 * 2^16): the 1080p view of this
+# scene demands ~1.86M instances; an undersized cap silently truncates the
+# profiled workload
 REPS = 10
 
 
