@@ -43,8 +43,8 @@ def _to_sub(v_lane):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-def _reduce_kernel(own_blk, rows_blk, zeros_ref, out_hbm, acc, smem,
-                   sems, n_steps: int, n_windows: int):
+def _reduce_kernel(own_blk, *refs, n_steps: int, n_windows: int,
+                   n_rows: int):
     """Sequential pass over owner-sorted rows.
 
     smem: [0] current window index. acc: (ROWS, W) accumulator for the
@@ -53,8 +53,15 @@ def _reduce_kernel(own_blk, rows_blk, zeros_ref, out_hbm, acc, smem,
     zero-aliased output. Flushes are inline start+wait: they are rare
     (~N/W + n_steps total) and tiny (32 KB), and conditional cross-step
     semaphore state measurably stalls the Mosaic pipeline (~seconds/step).
+
+    The data rows arrive as n_rows SEPARATE (1, STEP) refs (the sort's
+    output columns) instead of one stacked (ROWS, I) array: stacking and
+    zero-padding 16 rows at garden scale materializes ~125 MB of pure
+    relayout copies per step — assembling the (ROWS, STEP) block from the
+    row refs inside the kernel is free by comparison.
     """
-    del zeros_ref
+    row_refs = refs[:n_rows]
+    _zeros_ref, out_hbm, acc, smem, sems = refs[n_rows:]
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -66,7 +73,9 @@ def _reduce_kernel(own_blk, rows_blk, zeros_ref, out_hbm, acc, smem,
     win = own // W
     win_sub = _to_sub(win)                                  # (STEP, 1) f32
     ol_sub = _to_sub(own - win * W)                         # (STEP, 1) f32
-    rows = rows_blk[:, :]                                   # (ROWS, STEP)
+    pad_rows = ([jnp.zeros((ROWS - n_rows, STEP), jnp.float32)]
+                if n_rows < ROWS else [])
+    rows = jnp.concatenate([r[0:1, :] for r in row_refs] + pad_rows, axis=0)
     lane_w = _iota2((1, W), 1).astype(jnp.float32)
     max_win = jnp.max(win)
 
@@ -77,14 +86,26 @@ def _reduce_kernel(own_blk, rows_blk, zeros_ref, out_hbm, acc, smem,
         cp.wait()
         acc[:] = jnp.zeros((ROWS, W), jnp.float32)
 
+    # hi/lo split of the data rows, computed once per grid step: the
+    # accumulation matmul's one-hot side is EXACTLY representable in bf16,
+    # so rows = hi + lo (two bf16 limbs, ~16 mantissa bits) makes the
+    # placement product exact to ~1e-5 relative in TWO default-precision
+    # MXU passes instead of HIGHEST's six — the matmul is this kernel's
+    # dominant cost (M=16 of 128 sublanes is already only 12.5% utilized)
+    rows_hi = rows.astype(jnp.bfloat16)
+    rows_lo = (rows - rows_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def _place(data_bf, onehot_bf):
+        return jax.lax.dot_general(
+            data_bf, onehot_bf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     def body(state):
         j, done, it = state
         sel = (win_sub == j.astype(jnp.float32))            # (STEP, 1)
         onehot = jnp.where(sel, (ol_sub == lane_w).astype(jnp.float32), 0.0)
-        acc[:] += jax.lax.dot_general(
-            rows, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        onehot_bf = onehot.astype(jnp.bfloat16)             # 0/1: exact
+        acc[:] += _place(rows_hi, onehot_bf) + _place(rows_lo, onehot_bf)
         done_here = max_win <= j
 
         @pl.when(jnp.logical_not(done_here) & (j < n_windows))
@@ -108,18 +129,26 @@ def _reduce_kernel(own_blk, rows_blk, zeros_ref, out_hbm, acc, smem,
             flush(jf)
 
 
-def segment_reduce_rows(rows_t: jnp.ndarray, own: jnp.ndarray,
+def segment_reduce_rows(rows, own: jnp.ndarray,
                         n_owners: int, interpret=None) -> jnp.ndarray:
-    """rows_t: (ROWS, I) f32 instance rows; own: (I,) i32 NON-DECREASING
-    owner ids in [0, n_owners]. Returns (ROWS, n_owners + 1) per-owner sums
-    (the last row collects the sentinel id n_owners).
+    """rows: (ROWS, I) f32 instance rows OR a sequence of up-to-ROWS (I,)
+    f32 rows (passed to the kernel as separate refs — no stacked array is
+    ever materialized). own: (I,) i32 NON-DECREASING owner ids in
+    [0, n_owners]. Returns (ROWS-or-n_rows, n_owners + 1) per-owner sums
+    (the last column collects the sentinel id n_owners).
 
     Owners must be sorted ascending (sort upstream with the wide
     bandwidth-bound TPU sort). I must be a multiple of STEP.
     """
     n_inst = own.shape[0]
     assert n_inst % STEP == 0, 'instance count must be STEP-aligned'
-    assert rows_t.shape == (ROWS, n_inst)
+    if isinstance(rows, jnp.ndarray):
+        assert rows.shape[1] == n_inst
+        row_list = [rows[r] for r in range(rows.shape[0])]
+    else:
+        row_list = list(rows)
+    n_rows = len(row_list)
+    assert n_rows <= ROWS
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     n_windows = -(-(n_owners + 1) // W)  # +1: sentinel id == n_owners
@@ -128,7 +157,7 @@ def segment_reduce_rows(rows_t: jnp.ndarray, own: jnp.ndarray,
 
     out = pl.pallas_call(
         functools.partial(_reduce_kernel, n_steps=n_steps,
-                          n_windows=n_windows),
+                          n_windows=n_windows, n_rows=n_rows),
         out_shape=jax.ShapeDtypeStruct((ROWS, n_pad), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -136,8 +165,11 @@ def segment_reduce_rows(rows_t: jnp.ndarray, own: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec((1, STEP), lambda k: (0, k),
                              memory_space=pltpu.VMEM),     # owners
-                pl.BlockSpec((ROWS, STEP), lambda k: (0, k),
-                             memory_space=pltpu.VMEM),     # rows
+            ] + [
+                pl.BlockSpec((1, STEP), lambda k: (0, k),
+                             memory_space=pltpu.VMEM)      # one per data row
+                for _ in range(n_rows)
+            ] + [
                 pl.BlockSpec(memory_space=pl.ANY),         # zeros alias
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -149,10 +181,11 @@ def segment_reduce_rows(rows_t: jnp.ndarray, own: jnp.ndarray,
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        input_output_aliases={2: 0},
-    )(own.reshape(1, n_inst), rows_t,
+        input_output_aliases={1 + n_rows: 0},
+    )(own.reshape(1, n_inst),
+      *[r.reshape(1, n_inst) for r in row_list],
       jnp.zeros((ROWS, n_pad), jnp.float32))
-    return out[:, :n_owners + 1]
+    return out[:n_rows, :n_owners + 1]
 
 
 def reduce_by_gaussian(rows_t: jnp.ndarray, own: jnp.ndarray,
@@ -179,10 +212,8 @@ def reduce_by_gaussian(rows_t: jnp.ndarray, own: jnp.ndarray,
             for o, v in zip(ops_in, [n_gaussians] + [0] * n_data_rows)]
     ops = jax.lax.sort(tuple(ops_in), num_keys=1, is_stable=False)
     sorted_own = ops[0]
-    sorted_rows = jax.lax.bitcast_convert_type(
-        jnp.stack(ops[1:], axis=0), jnp.float32)
-    pad = jnp.zeros((ROWS - n_data_rows, sort_len), jnp.float32)
-    out = segment_reduce_rows(
-        jnp.concatenate([sorted_rows, pad], axis=0), sorted_own,
-        n_gaussians, interpret=interpret)
+    sorted_rows = [jax.lax.bitcast_convert_type(o, jnp.float32)
+                   for o in ops[1:]]
+    out = segment_reduce_rows(sorted_rows, sorted_own,
+                              n_gaussians, interpret=interpret)
     return out[:n_data_rows, :n_gaussians]

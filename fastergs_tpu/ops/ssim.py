@@ -22,6 +22,13 @@ _SIGMA = 1.5
 _C1 = 0.01 ** 2
 _C2 = 0.03 ** 2
 
+# HIGH = 3-pass bf16 decomposition (~f32 accuracy, half of HIGHEST's MXU
+# passes). The loss stage is dominated by these dense blur matmuls; the
+# SSIM variance cancellation (mu_xx - mu_x^2 against C2 = 9e-4) tolerates
+# HIGH's ~1e-7 relative error with orders of magnitude to spare (verified
+# on-chip: tools/bench_loss_prec.py).
+_BLUR_PRECISION = lax.Precision.HIGH
+
 
 @functools.lru_cache()
 def _gaussian_window() -> np.ndarray:
@@ -57,11 +64,11 @@ def _blur(x: jnp.ndarray) -> jnp.ndarray:
     # W axis: contract last dim with mw^T (symmetric band, mw == mw^T)
     y = lax.dot_general(x, mw, (((2,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)      # (C, H, W)
+                        precision=_BLUR_PRECISION)            # (C, H, W)
     # H axis: contract dim 1
     y = lax.dot_general(y, mh, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)      # (C, W, H)
+                        precision=_BLUR_PRECISION)            # (C, W, H)
     return jnp.swapaxes(y, 1, 2)
 
 
