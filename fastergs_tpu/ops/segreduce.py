@@ -1,4 +1,9 @@
-"""Per-Gaussian gradient reduction: (16, I) instance rows -> (16, N) sums.
+"""Per-Gaussian gradient reduction: owner-sorted instance rows -> per-owner sums.
+
+`segment_reduce_rows` accepts a sequence of up-to-ROWS (I,) f32 rows (or one
+stacked (ROWS, I) array) plus non-decreasing owner ids and returns
+(n_rows, n_owners + 1) per-owner sums; `reduce_by_gaussian` adds the owner
+sort in front for unsorted streams.
 
 The deterministic TPU analog of the reference's atomicAdd gradient
 accumulation (reference: kernels_backward.cuh:459-470). XLA lowers

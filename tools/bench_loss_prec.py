@@ -30,27 +30,11 @@ REPS = 10
 
 
 def make_loss(precision):
-    def blur(x):
-        c, h, w_ = x.shape
-        mh = jnp.asarray(ssim_mod._banded_blur_matrix(h))
-        mw = jnp.asarray(ssim_mod._banded_blur_matrix(w_))
-        y = lax.dot_general(x, mw, (((2,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
-        y = lax.dot_general(y, mh, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
-        return jnp.swapaxes(y, 1, 2)
-
+    # the PRODUCTION loss path (ops/ssim.fused_dssim), parameterized on the
+    # blur matmul precision — the gate measures the code training runs, so
+    # the two can't drift (advisor r4 finding)
     def loss(img, tgt):
-        mu_x, mu_y = blur(img), blur(tgt)
-        mu_xx, mu_yy, mu_xy = blur(img * img), blur(tgt * tgt), blur(img * tgt)
-        var_x = mu_xx - mu_x * mu_x
-        var_y = mu_yy - mu_y * mu_y
-        cov = mu_xy - mu_x * mu_y
-        num = (2 * mu_x * mu_y + 1e-4) * (2 * cov + 9e-4)
-        den = (mu_x ** 2 + mu_y ** 2 + 1e-4) * (var_x + var_y + 9e-4)
-        dssim = (1.0 - jnp.mean(num / den)) * 0.5
+        dssim = ssim_mod.fused_dssim(img, tgt, precision=precision)
         l1 = jnp.mean(jnp.abs(img - tgt))
         return 0.8 * l1 + 0.2 * dssim
 

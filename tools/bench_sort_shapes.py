@@ -108,7 +108,12 @@ def main():
     tile, depth, pay = stream_ops(I2)
     timeit('stream 12 ops num_keys=2 @ 19*2^16', chain(sort_2k),
            tile, depth, *pay)
-    fused = (tile << 19) | (depth >> 11)
+    # fused (tile, depth) key: tile needs ceil(log2(T+2)) bits (13 here), so
+    # only 32-13=19 depth bits fit. Pack in uint32 and flip the sign bit so
+    # the i32 sort order equals the u32 order (tile << 19 overflows i32's
+    # sign bit for tile >= 4096 — a raw i32 pack would NOT be tile-major).
+    fused_u = (tile.astype(jnp.uint32) << 19) | (depth.astype(jnp.uint32) >> 13)
+    fused = (fused_u ^ jnp.uint32(0x80000000)).astype(jnp.int32)
     timeit('stream fused-key 11 ops num_keys=1 @ 19*2^16',
            chain(sort_fused), fused, *pay)
 

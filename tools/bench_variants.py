@@ -57,9 +57,20 @@ def make_statics(variant: str) -> TrainStepStatics:
     return TrainStepStatics(**base)
 
 
-def run_variant(variant, data, model):
+def run_variant(variant, dataset, data, model):
     g = model.gaussians
     statics = make_statics(variant)
+    if statics.use_optimized_3d_filter or statics.use_original_3d_filter:
+        # the scale clamp (engine/train_step.py post-optimizer step) uses
+        # filter_3d as a log-space floor: it MUST be the computed per-Gaussian
+        # filter, not initialize_from_point_cloud's zeros (log-scale 0 ==
+        # world scale 1.0 would blow every splat up to screen size) — same
+        # order as engine/trainer.py: setup_3d_filter BEFORE training
+        from types import SimpleNamespace
+        g.setup_3d_filter(
+            SimpleNamespace(ORIGINAL_FORMULATION=statics.use_original_3d_filter,
+                            FILTER_VARIANCE=0.2),
+            dataset.train_views)
     lrs = {k: jnp.float32(v) for k, v in {
         'means': 1.6e-4, 'sh_coefficients_0': 2.5e-3,
         'sh_coefficients_rest': 1.25e-4, 'opacities': 0.025,
@@ -96,9 +107,9 @@ def run_variant(variant, data, model):
 
 def main():
     variants = sys.argv[1:] or ['plain', 'full-recipe', 'views2', 'views4']
-    _, data, model = bench.build_workload()
+    dataset, data, model = bench.build_workload()
     for v in variants:
-        run_variant(v, data, model)
+        run_variant(v, dataset, data, model)
 
 
 if __name__ == '__main__':
