@@ -38,16 +38,6 @@ def _iota2(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
-def _to_sub(v_lane):
-    """(1, S) lane vector -> (S, 1) sublane vector via an identity matmul."""
-    n = v_lane.shape[1]
-    ident = (_iota2((n, n), 0) == _iota2((n, n), 1)).astype(jnp.float32)
-    return jax.lax.dot_general(ident, v_lane.astype(jnp.float32),
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-
-
 def _reduce_kernel(own_blk, *refs, n_steps: int, n_windows: int,
                    n_rows: int):
     """Sequential pass over owner-sorted rows.
@@ -58,6 +48,17 @@ def _reduce_kernel(own_blk, *refs, n_steps: int, n_windows: int,
     zero-aliased output. Flushes are inline start+wait: they are rare
     (~N/W + n_steps total) and tiny (32 KB), and conditional cross-step
     semaphore state measurably stalls the Mosaic pipeline (~seconds/step).
+
+    The one-hot placement matrix is built TRANSPOSED, entirely in lane
+    space: onehot_T[w, i] = (own[i] == j*W + w) is a (W, 1) iota against
+    the (1, STEP) owner row — no lane->sublane transpose of the owners
+    exists anywhere. (Round-5 history: the original kernel transposed the
+    owners with two HIGHEST (STEP, STEP) x (STEP, 1) identity matvecs per
+    grid step — measured as ~2/3 of the kernel's entire runtime; passing
+    the owners as a (STEP, 1) block instead forces a 128x-padded tiled
+    relayout XLA-side, which is even slower.) The accumulation contracts
+    rows (ROWS, STEP) with onehot_T (W, STEP) along dim 1 of BOTH
+    operands — the MXU streams the transposed-rhs form natively.
 
     The data rows arrive as n_rows SEPARATE (1, STEP) refs (the sort's
     output columns) instead of one stacked (ROWS, I) array: stacking and
@@ -76,12 +77,10 @@ def _reduce_kernel(own_blk, *refs, n_steps: int, n_windows: int,
 
     own = own_blk[0:1, :]                                   # (1, STEP) i32
     win = own // W
-    win_sub = _to_sub(win)                                  # (STEP, 1) f32
-    ol_sub = _to_sub(own - win * W)                         # (STEP, 1) f32
     pad_rows = ([jnp.zeros((ROWS - n_rows, STEP), jnp.float32)]
                 if n_rows < ROWS else [])
     rows = jnp.concatenate([r[0:1, :] for r in row_refs] + pad_rows, axis=0)
-    lane_w = _iota2((1, W), 1).astype(jnp.float32)
+    sub_w = _iota2((W, 1), 0)                               # (W, 1) i32
     max_win = jnp.max(win)
 
     def flush(j):
@@ -100,17 +99,20 @@ def _reduce_kernel(own_blk, *refs, n_steps: int, n_windows: int,
     rows_hi = rows.astype(jnp.bfloat16)
     rows_lo = (rows - rows_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    def _place(data_bf, onehot_bf):
+    def _place(data_bf, onehot_t_bf):
+        # contract STEP on dim 1 of BOTH operands: (ROWS, STEP) x (W, STEP)
+        # -> (ROWS, W); the transposed-rhs form needs no operand transpose
         return jax.lax.dot_general(
-            data_bf, onehot_bf, (((1,), (0,)), ((), ())),
+            data_bf, onehot_t_bf, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     def body(state):
         j, done, it = state
-        sel = (win_sub == j.astype(jnp.float32))            # (STEP, 1)
-        onehot = jnp.where(sel, (ol_sub == lane_w).astype(jnp.float32), 0.0)
-        onehot_bf = onehot.astype(jnp.bfloat16)             # 0/1: exact
-        acc[:] += _place(rows_hi, onehot_bf) + _place(rows_lo, onehot_bf)
+        # onehot_T[w, i] = (own[i] == j*W + w): window membership AND
+        # in-window position in ONE lane-space compare
+        onehot_t = jnp.where(own == j * W + sub_w, 1.0, 0.0)   # (W, STEP)
+        onehot_t_bf = onehot_t.astype(jnp.bfloat16)            # 0/1: exact
+        acc[:] += _place(rows_hi, onehot_t_bf) + _place(rows_lo, onehot_t_bf)
         done_here = max_win <= j
 
         @pl.when(jnp.logical_not(done_here) & (j < n_windows))

@@ -50,7 +50,7 @@ def _banded_blur_matrix(n: int) -> np.ndarray:
     return m
 
 
-def _blur(x: jnp.ndarray) -> jnp.ndarray:
+def _blur(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Separable 11x11 Gaussian blur of (C, H, W) with zero 'same' padding.
 
     Runs as two banded-matrix matmuls instead of depthwise convolutions:
@@ -58,27 +58,33 @@ def _blur(x: jnp.ndarray) -> jnp.ndarray:
     (H, H)/(W, W) banded matmul rides the MXU at ~100x the FLOP rate —
     the net is far faster despite doing n/11 times more multiplies.
     """
+    precision = _BLUR_PRECISION if precision is None else precision
     c, h, w_ = x.shape
     mh = jnp.asarray(_banded_blur_matrix(h))      # (H, H): out_h <- in_h
     mw = jnp.asarray(_banded_blur_matrix(w_))     # (W, W): out_w <- in_w
     # W axis: contract last dim with mw^T (symmetric band, mw == mw^T)
     y = lax.dot_general(x, mw, (((2,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=_BLUR_PRECISION)            # (C, H, W)
+                        precision=precision)            # (C, H, W)
     # H axis: contract dim 1
     y = lax.dot_general(y, mh, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=_BLUR_PRECISION)            # (C, W, H)
+                        precision=precision)            # (C, W, H)
     return jnp.swapaxes(y, 1, 2)
 
 
-def ssim(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Mean SSIM of two (C, H, W) images in [0, 1]."""
-    mu_x = _blur(input)
-    mu_y = _blur(target)
-    mu_xx = _blur(input * input)
-    mu_yy = _blur(target * target)
-    mu_xy = _blur(input * target)
+def ssim(input: jnp.ndarray, target: jnp.ndarray,
+         precision=None) -> jnp.ndarray:
+    """Mean SSIM of two (C, H, W) images in [0, 1].
+
+    `precision` overrides the blur matmul precision (tools/bench_loss_prec.py
+    gates the production default against HIGHEST through this hook).
+    """
+    mu_x = _blur(input, precision)
+    mu_y = _blur(target, precision)
+    mu_xx = _blur(input * input, precision)
+    mu_yy = _blur(target * target, precision)
+    mu_xy = _blur(input * target, precision)
     var_x = mu_xx - mu_x * mu_x
     var_y = mu_yy - mu_y * mu_y
     cov = mu_xy - mu_x * mu_y
@@ -87,9 +93,10 @@ def ssim(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(num / den)
 
 
-def fused_dssim(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def fused_dssim(input: jnp.ndarray, target: jnp.ndarray,
+                precision=None) -> jnp.ndarray:
     """(1 - SSIM) / 2 on CHW images (reference: Loss.py:16)."""
-    return (1.0 - ssim(input, target)) * 0.5
+    return (1.0 - ssim(input, target, precision)) * 0.5
 
 
 def psnr(preds: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarray:

@@ -18,13 +18,13 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'   # force: the session env pins axon
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bench import WIDTH, HEIGHT, INSTANCE_CAP, N_GAUSSIANS, build_workload
+from bench import WIDTH, HEIGHT, INSTANCE_CAP, N_GAUSSIANS
 from fastergs_tpu.ops.projection import CameraParams, preprocess
 from fastergs_tpu.ops.tiles import build_tile_instances_compact
 from fastergs_tpu.ops.morton import morton_encode
@@ -48,16 +48,18 @@ def window_stats(own: np.ndarray, n: int, step: int, w: int):
 
 def main():
     n_g = int(sys.argv[1]) if len(sys.argv) > 1 else N_GAUSSIANS
-    dataset, data, model = build_workload()
+    # bench.py's scene + camera WITHOUT rendering GT views (the oracle blend
+    # at garden res takes tens of minutes on CPU; only owners are needed)
+    from fastergs_tpu.data.synthetic import random_gaussian_scene, ring_cameras
+    from fastergs_tpu.models.gaussians import FasterGSModel
+    scene = random_gaussian_scene(n_g, seed=0)
+    model = FasterGSModel(sh_degree=3).build()
+    model.gaussians.initialize_from_point_cloud(
+        scene['means'], None, use_mcmc=False)
     g = model.gaussians
-    view = dataset.train_views[0]
-    cam = view.camera
-    camp = CameraParams(
-        w2c=jnp.asarray(view.w2c), cam_position=jnp.asarray(view.position),
-        focal_x=jnp.float32(cam.focal_x), focal_y=jnp.float32(cam.focal_y),
-        center_x=jnp.float32(cam.center_x), center_y=jnp.float32(cam.center_y),
-        near_plane=jnp.float32(cam.near_plane),
-        far_plane=jnp.float32(cam.far_plane), width=WIDTH, height=HEIGHT)
+    view = ring_cameras(4, radius=4.6, width=WIDTH, height=HEIGHT,
+                        focal=0.55 * WIDTH)[0]
+    camp = CameraParams.from_view(view)  # view carries WIDTHxHEIGHT
 
     def owners_for(means, scales, rots, ops_, sh0, shr):
         prims = preprocess(
