@@ -56,6 +56,9 @@ def main() -> None:
                         help='write final model checkpoint (.npz)')
     parser.add_argument('--ply-out', default=None,
                         help='write final model as .ply')
+    parser.add_argument('--resume', default=None, metavar='CKPT',
+                        help='resume training from a checkpoint .npz '
+                             '(overrides TRAINING.LOAD_CHECKPOINT)')
     parser.add_argument('--dry-run', action='store_true',
                         help='validate the dataset directory layout (COLMAP '
                              'sparse model + image files) and the config, '
@@ -73,6 +76,8 @@ def main() -> None:
     from fastergs_tpu.utils.logging import log_info
 
     cfg, dataset, model, renderer, trainer = build_from_config(args.config)
+    if args.resume:
+        trainer.LOAD_CHECKPOINT = args.resume
     trainer.run(dataset)
 
     if dataset.test_views:

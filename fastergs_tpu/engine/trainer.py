@@ -375,6 +375,7 @@ class FasterGSTrainer(Configurable):
         # Fused windows carry STACKED (n_steps,) metric leaves — they unroll
         # to one metrics_history entry per iteration, matching the
         # reference's per-iteration PSNR granularity exactly
+        new_rows = []
         for it, m in self._pending_metrics:
             host = {k: np.asarray(v) for k, v in m.items()}
             n = max((v.shape[0] for v in host.values() if v.ndim), default=1)
@@ -384,7 +385,22 @@ class FasterGSTrainer(Configurable):
                 self._instance_watermark = max(
                     self._instance_watermark, int(rec['n_rect_instances']))
                 self.metrics_history.append((it + i, rec))
+                new_rows.append((it + i, rec))
         self._pending_metrics.clear()
+        self._append_metrics_jsonl(new_rows)
+
+    def _append_metrics_jsonl(self, rows) -> None:
+        """Streams metric rows to disk incrementally: a killed/timed-out run
+        keeps its curve up to the last flush (finalize rewrites the file
+        once with the complete history)."""
+        if not rows:
+            return
+        import json
+        import os
+        mpath = os.path.join(str(self.output_directory), 'metrics.jsonl')
+        with open(mpath, 'a') as f:
+            for it, rec in rows:
+                f.write(json.dumps({'iteration': it, **rec}) + '\n')
 
     def _maybe_grow_instance_cap(self) -> None:
         self._flush_metrics()
@@ -406,8 +422,9 @@ class FasterGSTrainer(Configurable):
                 jnp.asarray(v.rgb))) for v in dataset.test_views]
         log_info(f'[it {iteration}] validation PSNR: '
                  f'{float(np.mean(vals)):.3f} dB over {len(vals)} views')
-        self.metrics_history.append(
-            (iteration, {'val_psnr': float(np.mean(vals))}))
+        row = (iteration, {'val_psnr': float(np.mean(vals))})
+        self.metrics_history.append(row)
+        self._append_metrics_jsonl([row])
 
     @training_callback(priority=5, iteration_stride='BACKUP.INTERVAL')
     def periodic_checkpoint(self, iteration: int, *_) -> None:
@@ -463,12 +480,16 @@ class FasterGSTrainer(Configurable):
                     f'N_Gaussians:{n}')
         # persist the full per-iteration metric history (the reference
         # streams per-iteration loss/PSNR to wandb, Trainer.py:206-214;
-        # here every run leaves the curve on disk regardless of wandb)
-        import json
-        mpath = os.path.join(str(self.output_directory), 'metrics.jsonl')
-        with open(mpath, 'w') as f:
-            for it, rec in self.metrics_history:
-                f.write(json.dumps({'iteration': it, **rec}) + '\n')
+        # here every run leaves the curve on disk regardless of wandb).
+        # A RESUMED run must not rewrite: the file already holds the
+        # pre-crash prefix that this process's in-memory history lacks —
+        # the incremental appends are the record in that case
+        if self.start_iteration == 0:
+            import json
+            mpath = os.path.join(str(self.output_directory), 'metrics.jsonl')
+            with open(mpath, 'w') as f:
+                for it, rec in self.metrics_history:
+                    f.write(json.dumps({'iteration': it, **rec}) + '\n')
 
     # ------------------------------------------------------------------ #
     # fused execution: batch hot-loop iterations between maintenance events

@@ -63,6 +63,57 @@ from fastergs_tpu.ops.blend import BlendStatics
 # gradient parity contract, so every kernel matmul runs HIGHEST
 _PREC = jax.lax.Precision.HIGHEST
 
+# Exact-side limb matmuls (round 5): when ONE operand is exactly
+# representable in bf16 (the 0/1 triangular cumsum matrix; the pixel basis,
+# whose entries are half-integer products with <= 8 significant bits), a
+# 3-limb bf16 decomposition of the OTHER operand reproduces HIGHEST's
+# accuracy in 3 MXU passes instead of 6 (HIGHEST decomposes BOTH sides).
+_EXACT_SIDE_LIMBS = True
+_N_LIMBS = 3
+
+
+def _limbs(x, n=None):
+    """bf16 limb decomposition: x == sum(limbs) to ~8*n mantissa bits."""
+    n = _N_LIMBS if n is None else n
+    out = []
+    rest = x
+    for i in range(n):
+        li = rest.astype(jnp.bfloat16)
+        out.append(li)
+        if i + 1 < n:
+            rest = rest - li.astype(jnp.float32)
+    return out
+
+
+def _mm_exact_lhs(a_exact, b, dims=(((1,), (0,)), ((), ()))):
+    """a_exact @ b where a_exact is bf16-exact; b split into bf16 limbs."""
+    if not _EXACT_SIDE_LIMBS:
+        return jax.lax.dot_general(a_exact, b, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+    a_bf = a_exact.astype(jnp.bfloat16)
+    acc = None
+    for lb in _limbs(b):
+        p = jax.lax.dot_general(a_bf, lb, dims,
+                                preferred_element_type=jnp.float32)
+        acc = p if acc is None else acc + p
+    return acc
+
+
+def _mm_exact_rhs(a, b_exact, dims=(((1,), (0,)), ((), ()))):
+    """a @ b_exact where b_exact is bf16-exact; a split into bf16 limbs."""
+    if not _EXACT_SIDE_LIMBS:
+        return jax.lax.dot_general(a, b_exact, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=_PREC)
+    b_bf = b_exact.astype(jnp.bfloat16)
+    acc = None
+    for la in _limbs(a):
+        p = jax.lax.dot_general(la, b_bf, dims,
+                                preferred_element_type=jnp.float32)
+        acc = p if acc is None else acc + p
+    return acc
+
 CHUNK = 128        # instances per lane scan (lanes)
 SUBS = 4           # 128-lane sub-chunks processed per grid step: amortizes
                    # the fixed per-grid-step cost (DMA orchestration, grid
@@ -110,9 +161,7 @@ def _seg_cumsum_mxu(x, seg0, exclusive):
     then subtract each lane's prefix at its segment start (gathered along
     lanes — Mosaic supports lane-axis take_along_axis).
     """
-    full = jax.lax.dot_general(x, _tri(), (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=_PREC)
+    full = _mm_exact_rhs(x, _tri())   # 0/1 matrix: bf16-exact rhs
     idx = jnp.maximum(seg0 - 1, 0)
     prev = jnp.take_along_axis(full, jnp.broadcast_to(idx, x.shape), axis=1)
     prev = jnp.where(seg0 > 0, prev, 0.0)
@@ -127,7 +176,9 @@ _ALPHA_LOG_MAX = 1.0 - 6e-8
 
 def _basis(n_pix, tw, th):
     """(P, 8) constant tile-local pixel basis [lx², lx, ly², ly, lx·ly, 1,
-    0, 0] (lx/ly are pixel centers within a tile).
+    0, 0] (lx/ly are pixel centers within a tile). Every entry is a
+    half-integer product with <= 8 significant bits — exactly
+    representable in bf16 (the exact-side limb matmuls rely on this).
 
     The per-(pixel, instance) Gaussian power is a quadratic form in tile-
     local coordinates, so it factors into basis @ per-instance coefficients
@@ -175,6 +226,19 @@ def _mm(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=_PREC)
+
+
+def _basis_is_exact(statics) -> bool:
+    # half-integer basis products stay <= 8 significant bits only for
+    # tiles up to 16x16 (|l| <= 7.5 -> odd products <= 225 < 256)
+    return statics.tile_width <= 16 and statics.tile_height <= 16
+
+
+def _mm_basis(basis, coeffs, statics):
+    """power = basis @ coeffs with the exact-side limb fast path."""
+    if _basis_is_exact(statics):
+        return _mm_exact_lhs(basis, coeffs)
+    return _mm(basis, coeffs)
 
 
 def _alpha_eff_from_power(power, op, statics: BlendStatics):
@@ -341,8 +405,9 @@ def _fwd_kernel(*refs, statics: BlendStatics, n_steps: int,
         def _(fields=fields, t_ids=t_ids, cur0=cur0, col=col, bmask=bmask,
               n_bound=n_bound):
             coeffs, _, _ = _power_coeffs(fields, t_ids, statics)
-            power = _mm(_basis(n_pix, statics.tile_width,
-                               statics.tile_height), coeffs)   # (P, C)
+            power = _mm_basis(_basis(n_pix, statics.tile_width,
+                                      statics.tile_height), coeffs,
+                              statics)                         # (P, C)
             alpha_eff = _alpha_eff_from_power(power, fields[5:6], statics)
             one_minus = 1.0 - alpha_eff
             seg0 = _seg_start_lane(t_ids)
@@ -536,7 +601,8 @@ def _bwd_kernel(ft_ref, lt_ref, *refs, statics: BlendStatics,
 
 
 def _bwd_grad_rows(g_blk, sub, fields, basis, mxl, myl, alpha_eff, d_alpha,
-                   op, gcol_r, gcol_g, gcol_b, craw_r, craw_g, craw_b):
+                   op, gcol_r, gcol_g, gcol_b, craw_r, craw_g, craw_b,
+                   basis_exact=False):
     """Writes the nine per-instance gradient rows for one sub-chunk.
 
     Helper-field moments against the tile-local basis: all five second-
@@ -544,10 +610,13 @@ def _bwd_grad_rows(g_blk, sub, fields, basis, mxl, myl, alpha_eff, d_alpha,
     dx/dy tensors never materialize). gcol_*: (1, C) per-instance color
     cotangent rows (Σ_p w·ga), already reduced on the MXU by the caller."""
     helper = -alpha_eff * d_alpha
-    mom = jax.lax.dot_general(basis, helper,
-                              (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                               precision=_PREC)
+    dims_t = (((0,), (0,)), ((), ()))
+    if basis_exact:
+        mom = _mm_exact_lhs(basis, helper, dims=dims_t)
+    else:
+        mom = jax.lax.dot_general(basis, helper, dims_t,
+                                  preferred_element_type=jnp.float32,
+                                  precision=_PREC)
     m_lx2, m_lx = mom[0:1], mom[1:2]                       # Σh·lx², Σh·lx
     m_ly2, m_ly = mom[2:3], mom[3:4]
     m_lxy, m0 = mom[4:5], mom[5:6]
@@ -619,7 +688,7 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
         # ---- vectorized blend recomputation over the whole chunk ----
         basis = _basis(n_pix, statics.tile_width, statics.tile_height)
         coeffs, mxl, myl = _power_coeffs(fields, t_ids, statics)
-        power = _mm(basis, coeffs)                             # (P, C)
+        power = _mm_basis(basis, coeffs, statics)              # (P, C)
         op = fields[5:6]
         alpha_eff = _alpha_eff_from_power(power, op, statics)
         one_minus = 1.0 - alpha_eff
@@ -758,7 +827,8 @@ def _bwd_subchunk(k, sub, ft_ref, lt_ref, row_refs, aux_f, aux_l, aux_hbm,
             _bwd_grad_rows(g_blk, sub, fields, basis, mxl, myl,
                            alpha_eff, d_alpha, op,
                            gcol_r, gcol_g, gcol_b,
-                           craw_r, craw_g, craw_b)
+                           craw_r, craw_g, craw_b,
+                           basis_exact=_basis_is_exact(statics))
 
         # ---- carry update for the trailing segment ----
         ls = jnp.max(jnp.where(bmask, col, 0))                 # last seg start

@@ -82,29 +82,28 @@ def _select_bit(mask_lo: jnp.ndarray, mask_hi: jnp.ndarray,
                 j: jnp.ndarray) -> jnp.ndarray:
     """Position of the (j+1)-th set bit of a 64-bit mask (vectorized).
 
-    Binary search on prefix popcounts: the largest p with
-    popcount(bits below p) <= j is exactly the wanted position.
+    Two-level: one popcount picks the 32-bit word, then a 5-step binary
+    search on prefix popcounts WITHIN the word — prefix masks of a 32-bit
+    word are a single shift-sub ((1 << p) - 1 for p in [1, 32] via
+    2 << (p-1)), no clip/select gymnastics. ~2.5x fewer VPU ops per slot
+    than the flat 6-step 64-bit search this replaces (the expansion decode,
+    not the sort, dominates the stream build — round-5 finding).
     """
     lo = mask_lo.astype(jnp.uint32)
     hi = mask_hi.astype(jnp.uint32)
-
-    def prefix_pop(p):
-        # bits [0, p) for p in [0, 64]
-        p_lo = jnp.clip(p, 0, 32)
-        p_hi = jnp.clip(p - 32, 0, 32)
-        m_lo = jnp.where(p_lo >= 32, jnp.uint32(0xFFFFFFFF),
-                         (jnp.uint32(1) << p_lo.astype(jnp.uint32)) - 1)
-        m_hi = jnp.where(p_hi >= 32, jnp.uint32(0xFFFFFFFF),
-                         jnp.where(p_hi <= 0, jnp.uint32(0),
-                                   (jnp.uint32(1) << p_hi.astype(jnp.uint32)) - 1))
-        return (jax.lax.population_count(lo & m_lo)
-                + jax.lax.population_count(hi & m_hi)).astype(jnp.int32)
+    n_lo = jax.lax.population_count(lo).astype(jnp.int32)
+    in_hi = j >= n_lo
+    word = jnp.where(in_hi, hi, lo)
+    jw = jnp.where(in_hi, j - n_lo, j).astype(jnp.uint32)
 
     pos = jnp.zeros_like(j)
-    for step in (32, 16, 8, 4, 2, 1):
+    for step in (16, 8, 4, 2, 1):
         cand = pos + step
-        pos = jnp.where(prefix_pop(cand) <= j, cand, pos)
-    return pos
+        # prefix mask of bits [0, cand): cand in [1, 32] -> (2 << (cand-1)) - 1
+        m = (jnp.uint32(2) << (cand - 1).astype(jnp.uint32)) - 1
+        pop = jax.lax.population_count(word & m).astype(jnp.uint32)
+        pos = jnp.where(pop <= jw, cand, pos)
+    return pos + jnp.where(in_hi, 32, 0)
 
 
 def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
@@ -190,8 +189,20 @@ def _expand_instances(prims: Primitives2D, grid_width: int, grid_height: int,
     g_x0 = fcol[1] & 1023
     g_w = (fcol[1] >> 10) & 1023
     g_y0 = fcol[1] >> 20
-    tile_x = g_x0 + pos % g_w
-    tile_y = g_y0 + pos // g_w
+    # divmod by the DYNAMIC rect width via f32 reciprocal-multiply + a +/-1
+    # fixup — the VPU has no integer divide; XLA's expansion of a dynamic-
+    # divisor i32 div is tens of ops per lane. Exact: pos = q*g_w + r with
+    # pos <= 2^20 < 2^24, so the correctly-rounded-ish f32 quotient is
+    # within 1 of floor(pos/g_w) and the fixup lands it.
+    q = jnp.floor(pos.astype(jnp.float32) /
+                  g_w.astype(jnp.float32)).astype(jnp.int32)
+    r = pos - q * g_w
+    under = r < 0
+    over = r >= g_w
+    q = q + jnp.where(over, 1, 0) - jnp.where(under, 1, 0)
+    r = r + jnp.where(under, g_w, 0) - jnp.where(over, g_w, 0)
+    tile_x = g_x0 + r
+    tile_y = g_y0 + q
 
     tile_key = jnp.where(in_range, tile_y * grid_width + tile_x, n_tiles)
     return tile_key.astype(jnp.int32), fcol[2], own, total, extra

@@ -96,9 +96,18 @@ def train() -> None:
     cmd = [sys.executable, '-m', 'fastergs_tpu.cli.train', '-c', str(CONFIG),
            '--checkpoint-out', str(RUN_DIR / 'checkpoint.npz'),
            '--ply-out', str(RUN_DIR / 'model.ply')]
+    # auto-resume: the trainer drops periodic checkpoints
+    # (TRAINING.BACKUP.INTERVAL) into its output directory; a relaunch
+    # after a crash/kill continues from the newest one
+    ckpts = sorted((REPO / 'output' / 'garden_parity_synthetic').glob(
+        'checkpoint_*.npz'))
+    if ckpts:
+        cmd += ['--resume', str(ckpts[-1])]
+        print(f'resuming from {ckpts[-1]}', flush=True)
     print('running:', ' '.join(cmd), flush=True)
     t0 = time.time()
-    with open(OUT / 'train_log.txt', 'w') as log:
+    mode = 'a' if ckpts else 'w'
+    with open(OUT / 'train_log.txt', mode) as log:
         proc = subprocess.run(cmd, cwd=str(REPO), env=env, stdout=log,
                               stderr=subprocess.STDOUT)
     print(f'training exited {proc.returncode} after '
@@ -119,9 +128,17 @@ def report() -> None:
     if not candidates:
         raise SystemExit('no metrics.jsonl found — did training run?')
     mpath = candidates[-1]
-    rows = [json.loads(line) for line in mpath.read_text().splitlines()]
-    train_rows = [r for r in rows if 'psnr' in r]
-    val_rows = [r for r in rows if 'val_psnr' in r]
+    # keep the LAST row per iteration (a resumed run may append a short
+    # overlap around the checkpoint it restarted from)
+    by_it_train, by_it_val = {}, {}
+    for line in mpath.read_text().splitlines():
+        r = json.loads(line)
+        if 'PSNR' in r:
+            by_it_train[r['iteration']] = r
+        if 'val_psnr' in r:
+            by_it_val[r['iteration']] = r
+    train_rows = [by_it_train[k] for k in sorted(by_it_train)]
+    val_rows = [by_it_val[k] for k in sorted(by_it_val)]
 
     def sample_curve(rs, key, n=30):
         idx = np.linspace(0, len(rs) - 1, min(n, len(rs))).astype(int)
@@ -142,7 +159,7 @@ def report() -> None:
         '| iteration | train PSNR (dB) |',
         '|---|---|',
     ]
-    for it, v in sample_curve(train_rows, 'psnr'):
+    for it, v in sample_curve(train_rows, 'PSNR'):
         lines.append(f'| {it:,} | {v:.2f} |')
     if val_rows:
         lines += ['', '## Held-out validation PSNR', '',
@@ -164,8 +181,11 @@ def report() -> None:
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else 'all'
     OUT.mkdir(parents=True, exist_ok=True)
-    if what in ('capture', 'all'):
+    if what == 'capture' or (what == 'all' and not (
+            CAPTURE / 'sparse' / '0' / 'images.bin').exists()):
         make_capture()
+    elif what == 'all':
+        print(f'capture exists: {CAPTURE} (skipping)', flush=True)
     if what in ('train', 'all'):
         train()
     if what in ('report', 'all'):
