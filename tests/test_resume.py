@@ -90,3 +90,36 @@ def test_periodic_checkpoints_written(tmp_path):
     model2 = FasterGSModel(sh_degree=3).build()
     load_checkpoint(str(tmp_path / 'checkpoint_000040.npz'), model2)
     assert model2.num_iterations_trained == 40
+
+
+def test_resumed_run_metrics_jsonl(tmp_path):
+    """The streamed metrics.jsonl survives a kill + resume: the resumed
+    process appends to the pre-crash prefix and finalize must NOT rewrite
+    the file from its (partial) in-memory history (round-5 crash-resilience
+    for the garden evidence run)."""
+    import json
+    dataset, _ = make_synthetic_dataset(n_gaussians=150, n_views=6, width=48,
+                                        height=32, focal=40.0, seed=11,
+                                        instance_cap=1 << 12)
+    model1, _, trainer1 = _trainer({'NUM_ITERATIONS': 40, 'LOG_INTERVAL': 10})
+    trainer1.output_directory = tmp_path
+    trainer1.callbacks.run_pre(dataset)
+    for it in range(40):  # "crashes" after 40 of 60: no finalize call
+        trainer1.callbacks.run_training(it, dataset)
+    trainer1._flush_metrics()
+    model1.num_iterations_trained = 40
+    ckpt = str(tmp_path / 'ckpt.npz')
+    save_checkpoint(ckpt, model1, trainer1)
+    mpath = tmp_path / 'metrics.jsonl'
+    rows = [json.loads(l) for l in mpath.read_text().splitlines()]
+    assert rows and rows[-1]['iteration'] == 39
+
+    model2, _, trainer2 = _trainer({
+        'NUM_ITERATIONS': 60, 'LOG_INTERVAL': 10, 'LOAD_CHECKPOINT': ckpt})
+    trainer2.output_directory = tmp_path
+    trainer2.run(dataset, fuse=False)  # includes finalize
+    rows = [json.loads(l) for l in mpath.read_text().splitlines()]
+    its = [r['iteration'] for r in rows if 'PSNR' in r]
+    # pre-crash prefix intact AND the resumed tail present
+    assert min(its) == 0 and max(its) == 59
+    assert set(range(60)) <= set(its)
