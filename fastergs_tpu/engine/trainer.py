@@ -31,6 +31,16 @@ from fastergs_tpu.engine.train_step import (
 from fastergs_tpu.utils.logging import log_info, log_warning
 
 
+# Growth headroom: large enough that creeping demand does not re-trigger
+# a growth (and its recompile) every poll — the trigger fires at
+# 0.8 * cap, so headroom h re-triggers only after demand grows by
+# 0.8*h - 1 (35%% -> +8%%). 1.5 was measured to leave ~33%% permanent
+# padding on every linear-in-instances stage at the garden endpoint;
+# 1.35 cuts that to ~21%% for one extra growth event per ~8%% demand
+# creep. Post-densification the trim callback reclaims the rest.
+GROWTH_HEADROOM = 1.35
+
+
 def _grow_capacity(n: int) -> int:
     """Instance-capacity growth target: the demand (x a headroom factor,
     applied by callers) rounded up to the kernel alignment quantum — NOT
@@ -376,6 +386,7 @@ class FasterGSTrainer(Configurable):
         # to one metrics_history entry per iteration, matching the
         # reference's per-iteration PSNR granularity exactly
         new_rows = []
+        recent = 0
         for it, m in self._pending_metrics:
             host = {k: np.asarray(v) for k, v in m.items()}
             n = max((v.shape[0] for v in host.values() if v.ndim), default=1)
@@ -384,8 +395,14 @@ class FasterGSTrainer(Configurable):
                        for k, v in host.items()}
                 self._instance_watermark = max(
                     self._instance_watermark, int(rec['n_rect_instances']))
+                recent = max(recent, int(rec['n_rect_instances']))
                 self.metrics_history.append((it + i, rec))
                 new_rows.append((it + i, rec))
+        if recent:
+            # max demand over THIS flush batch only (≥ LOG_INTERVAL
+            # iterations ≈ several epochs of views) — the cap-trim signal,
+            # immune to stale pre-pruning peaks unlike the running watermark
+            self._recent_demand = recent
         self._pending_metrics.clear()
         self._append_metrics_jsonl(new_rows)
 
@@ -405,10 +422,41 @@ class FasterGSTrainer(Configurable):
     def _maybe_grow_instance_cap(self) -> None:
         self._flush_metrics()
         if self._instance_watermark > 0.8 * self.INSTANCE_CAP:
-            self.INSTANCE_CAP = _grow_capacity(int(self._instance_watermark * 1.5))
+            self.INSTANCE_CAP = _grow_capacity(int(self._instance_watermark * GROWTH_HEADROOM))
             log_warning(f'instance buffer watermark '
                         f'{self._instance_watermark:,} — growing capacity to '
                         f'{self.INSTANCE_CAP:,}')
+
+    @training_callback(priority=60, start_iteration=2000,
+                       iteration_stride=1000)
+    def trim_instance_cap(self, iteration: int, *_) -> None:
+        """Cap trim: the growth-only watermark policy RATCHETS on transient
+        demand spikes (measured in the garden run: an MCMC churn spike to
+        7.2M instances held the cap at 10.8M while demand settled to 4.2M,
+        taxing every later step ~1.9x — every linear-in-instances stage
+        runs at the static cap). Re-tighten to recent demand whenever that
+        frees >= 25% of the cap (hysteresis: one recompile must buy
+        >= 1.33x step speed for >= 1000 iterations — clearly profitable,
+        and thrash-proof since each trim requires a real demand drop).
+        Trimming is safe: a later heavier view overflows the tighter cap
+        and the fused-window replay grows it back losslessly."""
+        self._flush_metrics()
+        recent = getattr(self, '_recent_demand', 0)
+        if not recent:
+            return
+        target = _grow_capacity(int(recent * 1.15))
+        if target <= 0.75 * self.INSTANCE_CAP:
+            log_info(f'instance demand settled at {recent:,} — trimming '
+                     f'capacity {self.INSTANCE_CAP:,} -> {target:,}')
+            self.INSTANCE_CAP = target
+            self._instance_watermark = recent
+        elif recent > self.INSTANCE_CAP:
+            # post-densification drift upward (no densify callback polls
+            # the watermark anymore): grow — in non-fused mode there is no
+            # overflow replay, so this poll is the only guard
+            self.INSTANCE_CAP = target
+            log_warning(f'instance demand {recent:,} exceeds capacity — '
+                        f'growing to {target:,}')
 
     @training_callback(active='RUN_VALIDATION', priority=8,
                        iteration_stride='VALIDATION_INTERVAL')
@@ -540,7 +588,7 @@ class FasterGSTrainer(Configurable):
         demand = int(jnp.max(metrics['n_rect_instances']))
         self._instance_watermark = max(self._instance_watermark, demand)
         if demand > self.INSTANCE_CAP:
-            self.INSTANCE_CAP = _grow_capacity(int(demand * 1.5))
+            self.INSTANCE_CAP = _grow_capacity(int(demand * GROWTH_HEADROOM))
             log_warning(
                 f'instance overflow inside fused window at iteration '
                 f'{iteration:,} (demand {demand:,} > cap) — growing capacity '

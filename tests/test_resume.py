@@ -123,3 +123,32 @@ def test_resumed_run_metrics_jsonl(tmp_path):
     # pre-crash prefix intact AND the resumed tail present
     assert min(its) == 0 and max(its) == 59
     assert set(range(60)) <= set(its)
+
+
+def test_post_densification_cap_trim():
+    """The trainer trims the instance cap back to recent demand whenever
+    that frees >= 25% of the cap (the growth-only watermark policy ratchets
+    on transient demand spikes — measured 1.9x step tax in the garden run)
+    and re-grows if demand later exceeds the cap."""
+    dataset, _ = make_synthetic_dataset(n_gaussians=150, n_views=6, width=48,
+                                        height=32, focal=40.0, seed=12,
+                                        instance_cap=1 << 12)
+    model, _, trainer = _trainer({
+        'NUM_ITERATIONS': 10, 'DENSIFICATION_END_ITERATION': 4,
+        'INSTANCE_CAP': 1 << 18, 'LOG_INTERVAL': 2})
+    trainer.callbacks.run_pre(dataset)
+    for it in range(5):
+        trainer.callbacks.run_training(it, dataset)
+    trainer._flush_metrics()
+    demand = trainer._recent_demand
+    assert demand > 0
+    # next trim-due iteration after DENSIFICATION_END (stride 1000 from 4)
+    trainer.trim_instance_cap(1004, dataset)
+    from fastergs_tpu.constants import round_up_capacity
+    assert trainer.INSTANCE_CAP == round_up_capacity(int(demand * 1.15))
+    assert trainer.INSTANCE_CAP < (1 << 18)
+    # upward drift: a recent demand above the cap grows it back
+    trainer._recent_demand = trainer.INSTANCE_CAP + 1000
+    trainer._pending_metrics.clear()
+    trainer.trim_instance_cap(2004, dataset)
+    assert trainer.INSTANCE_CAP >= trainer._recent_demand
